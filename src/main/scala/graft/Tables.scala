@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided corpus (TESTDATA.md).
+  *
+  * One parquet file per table under the scale-factor dir. All queries read
+  * through here so column pruning / predicate pushdown reach the scan.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS): with
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as LONG nanos,
+    * which we truncate to microsecond timestamps (matching DuckDB's value
+    * to the microsecond; the corpus generator emits whole-second stamps).
+    */
+  private def fixEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame   = fixEventTs(t(s, d, "events"))
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational / aggregation query pack.
+  *
+  * Mirrors the reference's dataflow-operator semantics (SURVEY.md §2) on the
+  * driver corpus: per-group metric rollups (`common/TransferStats.java:49-72`,
+  * A1), two-level global rollups (`TransferStats.java:38-47`, A2), exact
+  * percentile bundles (`TransferStats.java:129-155`, A3 — with the reference's
+  * p50/p75 copy-paste bug FIXED), signature-store probe semantics as semi/anti
+  * joins (`dedup/ColumnarChunkStore.java:6-12`, J1), distinct-by-key (A5), and
+  * ordered top-k (O1-O3).
+  *
+  * Determinism contract (the driver hash-compares against a DuckDB oracle):
+  * every aggregated money/measure column is summed as DECIMAL (exact, order-
+  * independent) and cast to a fixed scale; every ratio is computed from the
+  * exact decimal via one double division, then rounded. No output bit depends
+  * on partition/merge order.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column, t: String = "decimal(12,2)"): Column = c.cast(t)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: per-group metric rollup (sum/avg/count), filter pushed to scan.
+    "q01_pricing_summary" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")) *
+            (lit(1).cast("decimal(4,2)") + dec(col("l_tax"), "decimal(4,2)")))
+            .cast("decimal(38,6)").as("sum_charge"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A2: two-level rollup (per-group + global), like globalStats' re-aggregation.
+    "q02_global_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+    }),
+
+    // A3: exact percentile bundle min/p25/p50/p75/max per metric type
+    // (reference emits these per TransferStats metric; p50/p75 bug fixed).
+    "q03_percentiles" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("value")).as("min_v"),
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.50)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          max(col("value")).as("max_v"))
+    }),
+
+    // Multi-way join + agg; dims broadcast (nation/customer small at any SF).
+    "q04_revenue_by_nation" -> ((s, d) => {
+      val l = lineitem(s, d); val o = orders(s, d)
+      val c = customer(s, d); val n = nation(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+            .cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // J1 hit-path: store probe that finds the signature == left-semi join.
+    "q05_semi_join" -> ((s, d) => {
+      val c = customer(s, d)
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // J1 miss-path / insert-on-miss input: left-anti join (chunks NOT in store).
+    "q06_anti_join" -> ((s, d) => {
+      val c = customer(s, d)
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+    }),
+
+    // O: ordered top-k per group via window (deterministic tie-break on key).
+    "q07_topk_window" -> ((s, d) => {
+      val o = orders(s, d); val c = customer(s, d)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // A5: distinct-by-key (store keyed by signature stores each chunk once).
+    "q08_distinct_parts" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Time-dimension rollup (month grain).
+    "q09_orders_by_month" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(trunc(col("o_orderdate"), "MONTH").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+    }),
+
+    // Window share-of-group over exact decimal partition sums.
+    "q10_brand_share" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+      part(s, d)
+        .withColumn("brand_total", sum(dec(col("p_retailprice"))).over(w).cast("decimal(38,2)"))
+        .withColumn("share",
+          round(dec(col("p_retailprice")).cast("double") / col("brand_total").cast("double"), 6))
+        .select(col("p_partkey"), col("p_brand"), col("brand_total"), col("share"))
+    }),
+
+    // Streaming-shaped batch query: 5-minute epoch-aligned buckets over events
+    // (the streaming variant computes the identical result incrementally).
+    "q11_event_buckets" -> ((s, d) => {
+      events(s, d)
+        .groupBy(
+          timestamp_seconds(floor(unix_timestamp(col("ts")) / 300) * 300).as("bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"), "decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_global_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q03_percentiles" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_v,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.50), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75,
+        |  max(value) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q04_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q07_topk_window" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "q08_distinct_parts" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q09_orders_by_month" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q10_brand_share" ->
+      """SELECT p_partkey, p_brand,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS brand_total,
+        |  round(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) /
+        |        CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS DOUBLE), 6) AS share
+        |FROM part""".stripMargin,
+
+    "q11_event_buckets" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}
