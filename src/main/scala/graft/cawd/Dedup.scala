@@ -1,0 +1,205 @@
+package graft.cawd
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The dedup decision engine, reformulated as a declarative Spark plan.
+  *
+  * The reference streams files in sorted order through a stateful
+  * content-addressed store: probe `sha1(chunk)`, insert on miss
+  * (`dedup/ColumnarChunkStore.java:6-12`; e.g.
+  * `orc/dedup/NaiveORCChunkStore.java:17-29`). Because the store only ever
+  * *grows*, the sequential fold is equivalent to a single relational
+  * question: "is this the FIRST occurrence of this signature in
+  * (fileRank, seq) order?" — first occurrence = miss (store insert),
+  * everything later = hit. That turns an inherently serial client/server
+  * loop into ONE aggregation by signature:
+  *
+  *   - `groupBy(signature).agg(min(struct(fileRank, seq)))` benefits from
+  *     map-side partial aggregation — at high dup ratios the shuffle carries
+  *     roughly one row per DISTINCT signature, not per chunk (unlike a
+  *     window `row_number`, which would shuffle + sort every row);
+  *   - the join back on `signature` is co-partitioned with the aggregation,
+  *     so AQE plans it without an extra exchange;
+  *   - a pre-existing ("warm") store is one more `left` join on `signature`,
+  *     broadcast when small.
+  *
+  * Hierarchical stripe→column fallback (SURVEY.md §2.4 J5) is the same
+  * construction applied twice: stripes first; the columns of MISSED stripes
+  * probe a column store that — because the receiver derives column entries
+  * from every stripe it receives (`StripePlusColumnORCReceiver.java:198-211`,
+  * J4) — contains exactly the columns of all earlier first-occurrence
+  * stripes.
+  */
+object Dedup {
+
+  /** Wire-accounting constants (SURVEY.md §2.8 message formats). One
+    * consistent model on both variants — the reference's per-variant
+    * inconsistencies (§4 defect 6) are documented, not replicated.
+    */
+  object Wire {
+    val SigProbe: Long = 4 + Sha1.Size // <type:int><sha1:20> per special chunk
+    def fileHeader(name: String): Long = 4 + name.length + 8 // <len><name><size>
+  }
+
+  /** Columns appended by [[markFirstOccurrence]]. */
+  val IsFirstCol = "is_first"
+  val InStoreCol = "in_store"
+
+  /** Marks each row's signature as first-seen or repeated, in strict
+    * (fileRank, ord) arrival order; ties (identical signatures at the same
+    * order key) are all "first" — matching the reference, where all column
+    * probes of one stripe happen before that stripe's inserts
+    * (`StripePlusColumnORCReceiver.java:93-211`).
+    *
+    * @param ordCol in-file order column (`seq` for flat chunk streams,
+    *               `parentSeq` for per-stripe column probes)
+    * @param store  optional warm store; membership forces hit
+    */
+  def markFirstOccurrence(chunks: DataFrame, ordCol: String,
+                          store: Option[DataFrame] = None): DataFrame = {
+    val key = struct(col("fileRank"), col(ordCol))
+    val firsts = chunks.groupBy(col("signature"))
+      .agg(min(key).as("__first_key"))
+    val marked = chunks.join(firsts, Seq("signature"))
+      .withColumn(IsFirstCol, key <=> col("__first_key"))
+      .drop("__first_key")
+    store match {
+      case Some(s) =>
+        val sigsOnly = s.select(col("signature")).distinct()
+          .withColumn(InStoreCol, lit(true))
+        marked.join(sigsOnly, Seq("signature"), "left")
+          .withColumn(InStoreCol, coalesce(col(InStoreCol), lit(false)))
+      case None => marked.withColumn(InStoreCol, lit(false))
+    }
+  }
+
+  /** Flat (non-hierarchical) dedup: naive ORC, column-based ORC, parquet.
+    *
+    * Returns the chunk set annotated with `status ∈ {raw, small, hit, miss}`:
+    *   - `raw`: chunk type not dedup-eligible → always transferred;
+    *   - `small`: eligible type but ≤ threshold → bypasses dedup
+    *     (`orc/net/ColumnBasedORCStreamer.java:109,125`, P3);
+    *   - `hit`: signature already in the (warm or growing) store;
+    *   - `miss`: first occurrence → transferred + inserted.
+    */
+  def flatStatus(chunks: DataFrame, dedupable: Set[String],
+                 smallThreshold: Long = 0L,
+                 store: Option[DataFrame] = None): DataFrame = {
+    val special = chunks
+      .filter(col("parentSeq") === -1) // hierarchical subchunks not in play here
+      .filter(col("chunkType").isInCollection(dedupable) &&
+        col("size") > smallThreshold)
+    val plain = chunks.filter(col("parentSeq") === -1)
+      .filter(!(col("chunkType").isInCollection(dedupable) &&
+        col("size") > smallThreshold))
+      .withColumn("status",
+        when(col("chunkType").isInCollection(dedupable), lit("small"))
+          .otherwise(lit("raw")))
+
+    val probed = markFirstOccurrence(special, "seq", store)
+      .withColumn("status",
+        when(col(InStoreCol) || !col(IsFirstCol), lit("hit")).otherwise(lit("miss")))
+      .drop(IsFirstCol, InStoreCol)
+
+    probed.unionByName(plain)
+  }
+
+  /** Hierarchical stripe→column cascade (s+p variant, J5):
+    * whole-stripe probe first; only the columns of missed stripes probe the
+    * column store; tiny columns bypass (≤ 2×SHA1 = 40 B,
+    * `orc/net/StripePlusColumnORCStreamer.java:154`). File footers probe
+    * their own store. Stripe index/footer chunks inherit their stripe's
+    * outcome via the `parentSeq` link (J3): on stripe hit they are deduped,
+    * on stripe miss they are sent raw.
+    *
+    * Returns chunk rows annotated with `status`; column subchunks appear
+    * ONLY for missed stripes (they replace the stripe-data transfer).
+    */
+  def hierarchicalStatus(chunks: DataFrame,
+                         smallThreshold: Long = 2L * Sha1.Size,
+                         stripeStore: Option[DataFrame] = None,
+                         columnStore: Option[DataFrame] = None,
+                         footerStore: Option[DataFrame] = None): DataFrame = {
+    val top = chunks.filter(col("parentSeq") === -1 || col("chunkType") === ChunkType.Column)
+
+    // 1. whole-stripe probe. A missed stripe normally delegates its bytes to
+    //    per-column probes ("miss_delegated"); a stripe whose stream layout
+    //    could not be parsed into columns has none and is sent whole ("miss").
+    val stripes = top.filter(col("chunkType") === ChunkType.StripeData)
+    val stripesWithCols = top.filter(col("chunkType") === ChunkType.Column)
+      .select(col("file").as("c_file"), col("parentSeq").as("c_parent"))
+      .distinct()
+    val stripeStatus = markFirstOccurrence(stripes, "seq", stripeStore)
+      .join(stripesWithCols,
+        col("file") === col("c_file") && col("seq") === col("c_parent"), "left")
+      .withColumn("status",
+        when(col(InStoreCol) || !col(IsFirstCol), lit("hit"))
+          .when(col("c_file").isNotNull, lit("miss_delegated"))
+          .otherwise(lit("miss")))
+      .drop(IsFirstCol, InStoreCol, "c_file", "c_parent")
+
+    val stripeOutcome = stripeStatus.select(
+      col("file").as("s_file"), col("seq").as("s_seq"), col("status").as("s_status"))
+
+    // 2. linked index/footer chunks follow their stripe's outcome
+    val linked = top
+      .filter(col("chunkType").isin(ChunkType.StripeIndex, ChunkType.StripeFooter) &&
+        col("parentSeq") =!= -1)
+      .join(stripeOutcome,
+        col("file") === col("s_file") && col("parentSeq") === col("s_seq"), "left")
+      .withColumn("status",
+        when(col("s_status") === "hit", lit("hit")).otherwise(lit("raw")))
+      .drop("s_file", "s_seq", "s_status")
+
+    // 3. columns of MISSED stripes probe the column store; the store grows
+    //    with the columns of every first-occurrence stripe (derived inserts,
+    //    J4), which is exactly this filtered set ordered by (fileRank,
+    //    parentSeq) — ties within one stripe all miss.
+    val columnsOfMissed = top.filter(col("chunkType") === ChunkType.Column)
+      .join(stripeOutcome,
+        col("file") === col("s_file") && col("parentSeq") === col("s_seq"))
+      .filter(col("s_status") === "miss")
+      .drop("s_file", "s_seq", "s_status")
+    val bigCols = columnsOfMissed.filter(col("size") > smallThreshold)
+    val smallCols = columnsOfMissed.filter(col("size") <= smallThreshold)
+      .withColumn("status", lit("small"))
+    val colStatus = markFirstOccurrence(bigCols, "parentSeq", columnStore)
+      .withColumn("status",
+        when(col(InStoreCol) || !col(IsFirstCol), lit("hit")).otherwise(lit("miss")))
+      .drop(IsFirstCol, InStoreCol)
+
+    // 4. file footers probe their own store
+    val footers = top.filter(col("chunkType") === ChunkType.FileFooter)
+    val footerStatus = markFirstOccurrence(footers, "seq", footerStore)
+      .withColumn("status",
+        when(col(InStoreCol) || !col(IsFirstCol), lit("hit")).otherwise(lit("miss")))
+      .drop(IsFirstCol, InStoreCol)
+
+    // 5. everything else is raw
+    val raw = top.filter(
+      !col("chunkType").isin(ChunkType.StripeData, ChunkType.Column,
+        ChunkType.FileFooter) &&
+        !(col("chunkType").isin(ChunkType.StripeIndex, ChunkType.StripeFooter) &&
+          col("parentSeq") =!= -1))
+      .withColumn("status", lit("raw"))
+
+    stripeStatus
+      .unionByName(linked)
+      .unionByName(colStatus)
+      .unionByName(smallCols)
+      .unionByName(footerStatus)
+      .unionByName(raw)
+  }
+
+  /** The store after a batch: previous store ∪ first occurrences. Content
+    * is deduplicated by signature (A5 — HashMap put semantics keep one copy,
+    * `NaiveORCChunkStore.java:22`).
+    */
+  def updatedStore(statusDf: DataFrame, prev: Option[DataFrame] = None): DataFrame = {
+    val inserts = statusDf.filter(col("status") === "miss")
+      .select("signature", "chunkType", "size", "content")
+    val all = prev.map(_.unionByName(inserts)).getOrElse(inserts)
+    all.dropDuplicates("signature")
+  }
+}

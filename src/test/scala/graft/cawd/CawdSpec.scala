@@ -1,0 +1,180 @@
+package graft.cawd
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+
+/** Correctness suite the reference never had (SURVEY.md §5): chunk-table
+  * invariants, byte-identity reconstruction, first-occurrence dedup
+  * semantics, warm-store parity KPI, stats semantics with the reference's
+  * percentile bug fixed.
+  */
+class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = GraftSession.get("cawd-spec")
+  private var dir: String = _
+  private var orcPath: String = _
+  private var pqPath: String = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("cawd-spec").toString
+    val df = spark.range(0, 5000).select(
+      col("id"),
+      (col("id") % 7).cast("double").as("d"),
+      concat(lit("row-"), col("id")).as("s"))
+    df.orderBy("id").coalesce(1).write.mode("overwrite").orc(s"$dir/orc")
+    df.orderBy("id").coalesce(1).write.mode("overwrite").parquet(s"$dir/pq")
+    orcPath = firstPart(s"$dir/orc", ".orc")
+    pqPath = firstPart(s"$dir/pq", ".parquet")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def firstPart(d: String, suffix: String): String =
+    new java.io.File(d).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(suffix))
+      .get.getAbsolutePath
+
+  private def fileLen(p: String): Long = new java.io.File(p).length()
+
+  /** Top-level cover: in StripeColumn mode Column subchunks OVERLAY the
+    * stripe-data chunk (parentSeq links them) and are excluded; in
+    * ColumnBased mode Column chunks REPLACE the data chunk and are part of
+    * the cover.
+    */
+  private def assertContiguous(chunks: Seq[FileChunk], len: Long): Unit = {
+    val top = chunks
+      .filterNot(c => c.chunkType == ChunkType.Column && c.parentSeq != -1)
+      .sortBy(_.start)
+    assert(top.head.start == 0, "first chunk starts at byte 0")
+    top.sliding(2).foreach {
+      case Seq(a, b) => assert(a.start + a.size == b.start,
+        s"gap/overlap between ${a.chunkType}@${a.start}+${a.size} and ${b.chunkType}@${b.start}")
+      case _ =>
+    }
+    assert(top.map(_.size).sum == len, "chunk sizes sum to file length")
+  }
+
+  test("ORC chunking (all modes): contiguous cover of [0, fileLen)") {
+    for (mode <- Seq(OrcChunker.Naive, OrcChunker.ColumnBased, OrcChunker.StripeColumn)) {
+      val chunks = OrcChunker.chunk(orcPath, 0, mode)
+      assertContiguous(chunks, fileLen(orcPath))
+      assert(chunks.exists(_.chunkType == ChunkType.FileFooter))
+    }
+  }
+
+  test("ORC stripe+column: column subchunks exactly tile each stripe's data region") {
+    val chunks = OrcChunker.chunk(orcPath, 0, OrcChunker.StripeColumn)
+    val byParent = chunks.filter(_.chunkType == ChunkType.Column).groupBy(_.parentSeq)
+    assert(byParent.nonEmpty, "expected column subchunks")
+    byParent.foreach { case (parentSeq, cols) =>
+      val stripe = chunks.find(_.seq == parentSeq).get
+      assert(stripe.chunkType == ChunkType.StripeData)
+      val sorted = cols.sortBy(_.start)
+      assert(sorted.head.start == stripe.start)
+      assert(sorted.map(_.size).sum == stripe.size, "columns tile the stripe data")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a.start + a.size == b.start)
+        case _ =>
+      }
+      assert(cols.forall(_.colType.nonEmpty), "columns carry a logical type")
+    }
+  }
+
+  test("Parquet chunking: contiguous cover, typed pages, footer slices verbatim") {
+    val chunks = ParquetChunker.chunk(pqPath, 0)
+    assertContiguous(chunks, fileLen(pqPath))
+    assert(chunks.exists(c => ChunkType.parquetDedupable(c.chunkType)))
+    assert(chunks.exists(_.chunkType == ChunkType.PageHeader))
+    val after = chunks.filter(_.chunkType == ChunkType.AfterFooter)
+    assert(after.size == 1 && after.head.size == 8)
+    // trailing magic is PAR1
+    assert(new String(after.head.content.takeRight(4), "ASCII") == "PAR1")
+  }
+
+  test("reconstruction is byte-identical for ORC and parquet") {
+    import spark.implicits._
+    val ds = spark.createDataset(
+      OrcChunker.chunk(orcPath, 0, OrcChunker.StripeColumn) ++
+      ParquetChunker.chunk(pqPath, 1))
+    val rows = CawdEngine.reconstructionCheck(ds).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} not byte-identical")
+      assert(r.getLong(1) == r.getLong(2))
+    }
+  }
+
+  test("flat dedup: first occurrence misses, repeats hit, in arrival order") {
+    val chunks = Seq(
+      // file A: two distinct data chunks + one repeat of the first
+      FileChunk("a", 0, 0, ChunkType.StripeData, 0, 100, -1, "", -1, Sha1.of(Array(1)), Array()),
+      FileChunk("a", 0, 1, ChunkType.StripeData, 100, 100, -1, "", -1, Sha1.of(Array(2)), Array()),
+      FileChunk("a", 0, 2, ChunkType.StripeData, 200, 100, -1, "", -1, Sha1.of(Array(1)), Array()),
+      FileChunk("a", 0, 3, ChunkType.StripeFooter, 300, 10, -1, "", -1, Sha1.of(Array(3)), Array()),
+      // file B (later rank): all duplicates of file A
+      FileChunk("b", 1, 0, ChunkType.StripeData, 0, 100, -1, "", -1, Sha1.of(Array(1)), Array()),
+      FileChunk("b", 1, 1, ChunkType.StripeData, 100, 100, -1, "", -1, Sha1.of(Array(2)), Array()))
+    import spark.implicits._
+    val status = Dedup.flatStatus(spark.createDataset(chunks).toDF(),
+      ChunkType.naiveOrcDedupable)
+      .select("file", "seq", "status").as[(String, Int, String)].collect().toSet
+    assert(status == Set(
+      ("a", 0, "miss"), ("a", 1, "miss"), ("a", 2, "hit"), ("a", 3, "raw"),
+      ("b", 0, "hit"), ("b", 1, "hit")))
+  }
+
+  test("warm duplicate transfer: copy's DedupBytes covers all dedupable bytes (parity KPI)") {
+    import spark.implicits._
+    val base = spark.createDataset(OrcChunker.chunk(orcPath, 0, OrcChunker.Naive))
+    val both = CawdEngine.withDuplicates(base)
+    val status = Dedup.flatStatus(both.toDF(), ChunkType.naiveOrcDedupable)
+    val copy = status.filter(col("file").endsWith("+copy"))
+    val hitBytes = copy.filter(col("status") === "hit")
+      .agg(sum("size")).as[Long].head()
+    val dedupableBytes = copy
+      .filter(col("chunkType").isInCollection(ChunkType.naiveOrcDedupable))
+      .agg(sum("size")).as[Long].head()
+    assert(hitBytes == dedupableBytes, "every dedupable chunk of the copy hits")
+    assert(hitBytes > 0)
+  }
+
+  test("hierarchical cascade: copy stripes all hit; cold columns probe only for missed stripes") {
+    import spark.implicits._
+    val base = spark.createDataset(OrcChunker.chunk(orcPath, 0, OrcChunker.StripeColumn))
+    val both = CawdEngine.withDuplicates(base)
+    val status = Dedup.hierarchicalStatus(both.toDF())
+    val byFileStatus = status.groupBy("file", "status").count().collect()
+      .map(r => (r.getString(0).endsWith("+copy"), r.getString(1)) -> r.getLong(2))
+      .groupMapReduce(_._1._1)(r => Map(r._1._2 -> r._2))(_ ++ _)
+    val orig = byFileStatus(false); val copy = byFileStatus(true)
+    // original: stripes miss and delegate to columns (or plain miss)
+    assert(orig.getOrElse("hit", 0L) == 0L)
+    assert(orig.contains("miss_delegated") || orig.contains("miss"))
+    // copy: every stripe + footer hits; no column probes remain
+    assert(!copy.contains("miss") && !copy.contains("miss_delegated"))
+    assert(copy.getOrElse("hit", 0L) > 0L)
+  }
+
+  test("stats rollup: two levels, exact distinct percentiles (reference p50/p75 bug fixed)") {
+    import spark.implicits._
+    val stats = Seq(
+      StatValue("f1", "TransferBytes", 10.0, "Bytes"),
+      StatValue("f1", "TransferBytes", 20.0, "Bytes"),
+      StatValue("f2", "TransferBytes", 30.0, "Bytes"),
+      StatValue("f2", "TransferBytes", 40.0, "Bytes")).toDS().toDF()
+    val out = Stats.rollup(stats).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("f1", "f2", "general"))
+    val g = out("general")
+    assert(g.getAs[Double]("value") == 100.0)
+    assert(g.getAs[Long]("ocurrences") == 4)
+    assert(g.getAs[Double]("p25") != g.getAs[Double]("p75"),
+      "p75 must not replicate the reference's copy-paste of p25")
+    assert(g.getAs[Double]("p50") == 25.0)
+  }
+}
