@@ -19,7 +19,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
-      (CawdQueries.queries, CawdQueries.oracle)
+      (CawdQueries.queries, CawdQueries.oracle),
+      (TextQueries.queries, TextQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data text pipeline pack over the `documents` table: exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
+  * quality scoring, token counting, winnowing fingerprints.
+  *
+  * Design for verifiability: every hash-based sketch is built from md5 —
+  * identical lowercase-hex output in Spark and DuckDB — so even MinHash /
+  * SimHash get full value-level oracles rather than rows-only checks.
+  *
+  * Design for 100 TB:
+  *   - shingling/minhash is one explode + one hash-aggregate per doc (k min
+  *     aggregates evaluated per shingle row — NOT a k-way explode);
+  *   - candidate generation is an equi-join on band keys (shuffle on band
+  *     key, no cross join); exact Jaccard verification touches only
+  *     candidates;
+  *   - SimHash pairing joins on 16-bit bands (pigeonhole: hamming ≤ 6 over
+  *     64 bits ⇒ at least one of 4 bands equal), never all-pairs;
+  *   - per-doc scoring ops are pure narrow projections (no shuffle).
+  */
+object TextQueries {
+
+  /** Whitespace tokens of `text`. */
+  private val toks: Column = split(col("text"), " ")
+
+  /** Word 3-gram shingles (distinct per doc). */
+  private val shingleExpr =
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |                        element_at(split(text, ' '), i + 1),
+      |                        element_at(split(text, ' '), i + 2))))
+      |ELSE array() END""".stripMargin
+
+  private val ShingleSqlCtes =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM toks, UNNEST(range(1, len(w)-1)) AS g(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  /** MinHash parameters: k independent md5-derived hash functions, banded
+    * r rows × b bands for LSH (k = r*b). Threshold ~ (1/b)^(1/r) ≈ 0.63.
+    */
+  val MinHashK = 12
+  val MinHashR = 3
+  val JaccardThreshold = 0.8
+
+  /** SimHash: 64-bit fingerprint from per-token md5 bits, tf-weighted;
+    * emitted as 4 × 16-bit band ints so band-joins and XOR popcount need no
+    * hex decoding. Hamming radius 6 ⇒ one of 4 bands must match exactly.
+    */
+  val HammingRadius = 6
+
+  // --- shared spark fragments -------------------------------------------
+
+  private def docShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+
+  /** (doc_id, band, bkey) minhash LSH band keys. One shingle explode, k min
+    * aggregates, band concat — the at-scale shape.
+    */
+  private def minhashBands(df: DataFrame): DataFrame = {
+    val mins = (0 until MinHashK).map(k =>
+      min(md5(concat_ws(":", lit(k), col("s")))).as(s"h$k"))
+    val sig = docShingles(df).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = (0 until MinHashK / MinHashR).map { b =>
+      val cols = (b * MinHashR until (b + 1) * MinHashR).map(k => col(s"h$k"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Exact pairwise Jaccard over shingles (ida < idb), optionally restricted
+    * to a candidate-pair set (the LSH path — only candidates are verified).
+    */
+  private def jaccardOf(df: DataFrame, cands: Option[DataFrame]): DataFrame = {
+    val sh = docShingles(df)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joined = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val restricted = cands.fold(joined)(c =>
+      joined.join(c, col("a.doc_id") === c("ida") && col("b.doc_id") === c("idb"), "left_semi"))
+    val common = restricted
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
+      .select(col("ida"), col("idb"),
+        round(col("common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("common")), 6).as("jaccard"))
+  }
+
+  /** 64-bit tf-weighted SimHash as 4 × 16-bit bands. `side` selects Spark
+    * (shiftright) vs DuckDB (>>) operator spelling; everything else is
+    * common SQL so both engines compute identical values.
+    */
+  private def simhashSql(spark: Boolean): String = {
+    def shr(x: String, n: Int) = if (spark) s"shiftright($x, $n)" else s"($x >> $n)"
+    // bit p (0..63) of md5(token): nibble = hex char p/4, bit = (nib >> (3-p%4)) & 1
+    val bitSums = (0 until 64).map { p =>
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${1 + p / 4}, 1)) - 1)"
+      s"sum(tf * (2 * (${shr(nib, 3 - p % 4)} & 1) - 1)) AS s$p"
+    }.mkString(", ")
+    val bandCols = (0 until 4).map { b =>
+      val bits = (b * 16 until (b + 1) * 16).map { p =>
+        s"(CASE WHEN s$p > 0 THEN ${1L << (15 - p % 16)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($bits AS BIGINT) AS b$b"
+    }.mkString(", ")
+    val strposFn = if (spark) "instr" else "strpos"
+    val splitFn = if (spark) "split" else "string_split"
+    s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf
+       |  FROM (SELECT doc_id, ${if (spark) "explode" else "unnest"}($splitFn(text, ' ')) AS t FROM documents) x
+       |  GROUP BY doc_id, t),
+       |th AS (SELECT doc_id, tf, md5(t) AS h FROM tf),
+       |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+       |SELECT doc_id, $bandCols FROM bits""".stripMargin
+      .replace("strpos(", strposFn + "(")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash grouping (normalize → md5 → min-id canonical).
+    "d01_exact_dedup" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("text_hash",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex tokens, distinct ratio.
+    "d02_token_stats" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_regex_tokens"),
+        length(col("text")).as("n_chars"),
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(toks), 6).as("avg_token_len"))
+    }),
+
+    // Quality scoring: length/stopword/diversity signals → one score.
+    "d03_quality_score" -> ((s, d) => {
+      val nTok = size(toks).cast("double")
+      val nStop = size(expr(
+        "filter(split(text, ' '), x -> x IN ('the','a','of','and','in','to','is'))")).cast("double")
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+      val stopRatio = nStop / nTok
+      documents(s, d).select(
+        col("doc_id"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(distinctRatio, 6).as("distinct_ratio"),
+        round(least(nTok / 100.0, lit(1.0)) * 0.4 + distinctRatio * 0.3 + stopRatio * 0.3, 6)
+          .as("quality_score"))
+    }),
+
+    // Language ID: marker-token n-gram heuristic with fixed tie-break.
+    "d04_lang_id" -> ((s, d) => {
+      def markers(ws: Seq[String]): Column =
+        size(expr(s"filter(split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))"))
+      val cEn = markers(Seq("the", "is", "of", "and"))
+      val cDe = markers(Seq("der", "die", "und", "ist"))
+      val cEs = markers(Seq("el", "la", "que", "es"))
+      documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        cEn.as("c_en"), cDe.as("c_de"), cEs.as("c_es"),
+        when(cEn >= cDe && cEn >= cEs && cEn > 0, "en")
+          .when(cDe >= cEs && cDe > 0, "de")
+          .when(cEs > 0, "es")
+          .otherwise("unknown").as("predicted_lang"))
+    }),
+
+    // n-gram Jaccard near-dup: exact all-pairs-with-common-shingle join.
+    "d05_ngram_jaccard_pairs" -> ((s, d) =>
+      jaccardOf(documents(s, d), None).filter(col("jaccard") >= JaccardThreshold)),
+
+    // MinHash+LSH: banded candidates → exact-Jaccard verification.
+    "d06_minhash_lsh_pairs" -> ((s, d) => {
+      val df = documents(s, d)
+      val bands = minhashBands(df)
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
+      jaccardOf(df, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
+    }),
+
+    // SimHash 64-bit fingerprints (4 × 16-bit bands, tf-weighted md5 bits).
+    "d07_simhash" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(simhashSql(spark = true))
+    }),
+
+    // SimHash near-dup: band-equality candidates, hamming ≤ radius.
+    "d08_simhash_pairs" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      val sh = s.sql(simhashSql(spark = true))
+      sh.createOrReplaceTempView("simhashes")
+      s.sql(
+        s"""WITH bands AS (
+           |  SELECT doc_id, band, CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+           |         WHEN 2 THEN b2 ELSE b3 END AS bval
+           |  FROM simhashes
+           |  LATERAL VIEW explode(array(0, 1, 2, 3)) t AS band),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+           |SELECT ida, idb,
+           |  CAST(bit_count(sa.b0 ^ sb.b0) + bit_count(sa.b1 ^ sb.b1) +
+           |       bit_count(sa.b2 ^ sb.b2) + bit_count(sa.b3 ^ sb.b3) AS INT) AS hamming
+           |FROM cand JOIN simhashes sa ON cand.ida = sa.doc_id
+           |          JOIN simhashes sb ON cand.idb = sb.doc_id
+           |WHERE bit_count(sa.b0 ^ sb.b0) + bit_count(sa.b1 ^ sb.b1) +
+           |      bit_count(sa.b2 ^ sb.b2) + bit_count(sa.b3 ^ sb.b3) <= $HammingRadius
+           |""".stripMargin)
+    }),
+
+    // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
+    "d09_winnow_fingerprints" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH grams AS (
+          |  SELECT doc_id, i, md5(substr(text, i, 8)) AS h
+          |  FROM documents
+          |  LATERAL VIEW explode(sequence(1, greatest(length(text) - 7, 1))) t AS i),
+          |wins AS (
+          |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+          |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |  FROM grams)
+          |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints,
+          |       min(fp) AS min_fingerprint
+          |FROM wins GROUP BY doc_id""".stripMargin)
+    })
+  )
+
+  // --- DuckDB oracles ----------------------------------------------------
+
+  private val JaccardPairsSql =
+    s"""$ShingleSqlCtes,
+       |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ida, idb,
+       |  round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON pairs.ida = sa.doc_id
+       |           JOIN sizes sb ON pairs.idb = sb.doc_id
+       |WHERE common * 1.0 / (sa.n + sb.n - common) >= $JaccardThreshold""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d02_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
+        |  length(text) AS n_chars,
+        |  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |        len(string_split(text, ' ')), 6) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "d03_quality_score" ->
+      """SELECT doc_id,
+        |  round(ns / nt, 6) AS stopword_ratio,
+        |  round(nd / nt, 6) AS distinct_ratio,
+        |  round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.3 + (ns / nt) * 0.3, 6) AS quality_score
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) AS ns
+        |FROM documents) t""".stripMargin,
+
+    "d04_lang_id" ->
+      """SELECT doc_id, lang AS labeled_lang, c_en, c_de, c_es,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en > 0 THEN 'en'
+        |       WHEN c_de >= c_es AND c_de > 0 THEN 'de'
+        |       WHEN c_es > 0 THEN 'es'
+        |       ELSE 'unknown' END AS predicted_lang
+        |FROM (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','is','of','and'))) AS c_en,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','ist'))) AS c_de,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('el','la','que','es'))) AS c_es
+        |FROM documents) t""".stripMargin,
+
+    "d05_ngram_jaccard_pairs" -> JaccardPairsSql,
+
+    "d06_minhash_lsh_pairs" ->
+      s"""$ShingleSqlCtes,
+         |mh AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mv
+         |       FROM sh, UNNEST(range(0, $MinHashK)) AS t(k) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, k // $MinHashR AS band,
+         |                 string_agg(mv, '|' ORDER BY k) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM bands a JOIN bands b ON a.band = b.band
+         |           AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN cand ON cand.ida = a.doc_id AND cand.idb = b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT ida, idb,
+         |  round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON pairs.ida = sa.doc_id
+         |           JOIN sizes sb ON pairs.idb = sb.doc_id
+         |WHERE common * 1.0 / (sa.n + sb.n - common) >= $JaccardThreshold""".stripMargin,
+
+    "d07_simhash" -> simhashSql(spark = false),
+
+    "d08_simhash_pairs" ->
+      s"""WITH sim AS (${simhashSql(spark = false)}),
+         |bands AS (
+         |  SELECT doc_id, band,
+         |    CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bval
+         |  FROM sim, UNNEST([0, 1, 2, 3]) AS t(band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT ida, idb,
+         |  CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+         |       bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS INT) AS hamming
+         |FROM cand JOIN sim sa ON cand.ida = sa.doc_id
+         |          JOIN sim sb ON cand.idb = sb.doc_id
+         |WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+         |      bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= $HammingRadius""".stripMargin,
+
+    "d09_winnow_fingerprints" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)),
+        |wins AS (
+        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM grams)
+        |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints,
+        |       min(fp) AS min_fingerprint
+        |FROM wins GROUP BY doc_id""".stripMargin
+  )
+}
