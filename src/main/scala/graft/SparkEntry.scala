@@ -20,7 +20,8 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
       (CawdQueries.queries, CawdQueries.oracle),
-      (TextQueries.queries, TextQueries.oracle)
+      (TextQueries.queries, TextQueries.oracle),
+      (VectorQueries.queries, VectorQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

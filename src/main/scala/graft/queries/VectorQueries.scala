@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity-search pack over the `embeddings` table (`Array[Float]` dim
+  * 64): brute-force cosine top-k as the exactness baseline, plus two
+  * scale paths — deterministic sign-LSH bucketing and an IVF-style
+  * centroid-pruned search.
+  *
+  * Verifiability: similarity is computed in double precision and ROUNDED to
+  * 6 decimals before ranking, with vec_id tie-breaks, so Spark and DuckDB
+  * rank identically despite sub-1e-12 float-fold differences. LSH
+  * hyperplanes are md5-derived (w(p, d) = md5-nibble − 7.5), so both
+  * engines build byte-identical buckets — the sketch is value-verified.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *   - brute force is the small-scale correctness baseline (quadratic);
+  *   - sign-LSH: one narrow projection per vector → bucket id; candidate
+  *     pairs form per-bucket (shuffle on bucket key, never all-pairs);
+  *   - IVF: assign each vector to its nearest centroid once, queries probe
+  *     only `nprobe` nearest cells — the Spark plan is a join on cell id,
+  *     i.e. partition pruning for vectors.
+  */
+object VectorQueries {
+
+  val TopK = 5
+  val LshPlanes = 6        // 64 buckets
+  val IvfCentroids = 8     // fixed: the vectors with vec_id < 8
+  val IvfProbes = 2
+
+  /** Query subset: every 10th vector probes the index. */
+  private val QueryFilter = "vec_id % 10 = 0"
+
+  /** cos(a, b) in double precision, element fold in index order. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def topkOf(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
+  /** Deterministic hyperplane weights / bucket assignment, common SQL core.
+    * Emits per-vector (vec_id, bucket) with bucket = Σ_p (sign_p << p).
+    */
+  private def lshBucketSql(spark: Boolean): String = {
+    val explode = if (spark) "explode" else "unnest"
+    val strposFn = if (spark) "instr" else "strpos"
+    val shl = if (spark) "shiftleft(b, CAST(p AS INT))" else "(b << p)"
+    s"""flat AS (
+       |  SELECT vec_id, i, CAST(${if (spark) "element_at(embedding, CAST(i AS INT))"
+                                   else "embedding[i]"} AS DOUBLE) AS x
+       |  FROM embeddings ${if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
+                            else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"}),
+       |planes AS (
+       |  SELECT p, i,
+       |    ($strposFn('0123456789abcdef',
+       |       substr(md5(CAST(p AS STRING) || ':' || CAST(i AS STRING)), 1, 1)) - 1) - 7.5 AS w
+       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (LshPlanes - 1) + ")"
+                                  else s"range(0, $LshPlanes)"}) AS p) pp,
+       |       (SELECT $explode(${if (spark) "sequence(1, 64)" else "range(1, 65)"}) AS i) ii),
+       |signs AS (
+       |  SELECT vec_id, p, CASE WHEN sum(x * w) > 0 THEN 1 ELSE 0 END AS b
+       |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id, CAST(sum($shl) AS BIGINT) AS bucket FROM signs GROUP BY vec_id)
+       |""".stripMargin
+  }
+
+  private def registerEmbeddings(s: SparkSession, d: String): Unit =
+    embeddings(s, d).createOrReplaceTempView("embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-k: the correctness baseline.
+    "e01_cosine_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(expr(QueryFilter))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val pairs = q.join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+          col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), round(cosine(col("qv"), col("nv")), 6).as("cos"))
+      topkOf(pairs)
+    }),
+
+    // Sign-LSH bucketing: per-bucket candidate generation + exact rerank.
+    "e02_lsh_topk" -> ((s, d) => {
+      registerEmbeddings(s, d)
+      s.sql(
+        s"""WITH ${lshBucketSql(spark = true)},
+           |cand AS (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+           |  FROM buckets q JOIN buckets n
+           |    ON q.bucket = n.bucket AND q.vec_id != n.vec_id
+           |  WHERE q.vec_id % 10 = 0),
+           |scored AS (
+           |  SELECT q_id, n_id,
+           |    round(aggregate(zip_with(ea.embedding, eb.embedding,
+           |            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           |          CAST(0 AS DOUBLE), (acc, v) -> acc + v) /
+           |      (sqrt(aggregate(transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |            CAST(0 AS DOUBLE), (acc, v) -> acc + v)) *
+           |       sqrt(aggregate(transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |            CAST(0 AS DOUBLE), (acc, v) -> acc + v))), 6) AS cos
+           |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
+           |            JOIN embeddings eb ON cand.n_id = eb.vec_id)
+           |SELECT q_id, rank, n_id, cos FROM (
+           |  SELECT q_id, n_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+           |  FROM scored) r
+           |WHERE rank <= $TopK""".stripMargin)
+    }),
+
+    // IVF-style search: fixed centroids (vec_id < C), nearest-cell
+    // assignment, queries probe the nprobe closest cells only.
+    "e03_ivf_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cent = e.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      // nearest-centroid cell per vector (rounded cosine, centroid-id ties)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      val cells = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          round(cosine(col("embedding"), col("cv")), 6).as("ccos"))
+        .withColumn("crank", row_number().over(wAssign))
+      val assigned = cells.filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      // each query probes its nprobe nearest cells
+      val probes = cells.filter(expr(QueryFilter) && col("crank") <= IvfProbes)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("c_id").as("cell"))
+      val pairs = probes.join(assigned, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos"))
+        .distinct() // a neighbor can appear via multiple probed cells
+      topkOf(pairs)
+    }),
+
+    // Near-duplicate vector pairs above a cosine threshold (embedding-space
+    // analogue of d05/d06; threshold tuned to the corpus's similarity range).
+    "e04_cosine_neardup_pairs" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("label").as("la"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("label").as("lb"))
+      a.join(b, col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), col("la"), col("lb"),
+          round(cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+    })
+  )
+
+  private val CosSql =
+    "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "e01_cosine_topk" ->
+      s"""SELECT q_id, rank, n_id, cos FROM (
+         |  SELECT ea.vec_id AS q_id, eb.vec_id AS n_id, $CosSql AS cos,
+         |    row_number() OVER (PARTITION BY ea.vec_id
+         |      ORDER BY $CosSql DESC, eb.vec_id ASC) AS rank
+         |  FROM embeddings ea JOIN embeddings eb ON ea.vec_id != eb.vec_id
+         |  WHERE ea.vec_id % 10 = 0) t
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "e02_lsh_topk" ->
+      s"""WITH ${lshBucketSql(spark = false)},
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM buckets q JOIN buckets n
+         |    ON q.bucket = n.bucket AND q.vec_id != n.vec_id
+         |  WHERE q.vec_id % 10 = 0),
+         |scored AS (
+         |  SELECT q_id, n_id, $CosSql AS cos
+         |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
+         |            JOIN embeddings eb ON cand.n_id = eb.vec_id)
+         |SELECT q_id, rank, n_id, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM scored) r
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "e03_ivf_topk" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id < $IvfCentroids),
+         |cells AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+         |               c.c_id ASC) AS crank
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS cell FROM cells WHERE crank = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, embedding AS qv, c_id AS cell FROM cells
+         |  WHERE vec_id % 10 = 0 AND crank <= $IvfProbes),
+         |pairs AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id,
+         |    round(list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id != a.vec_id)
+         |SELECT q_id, rank, n_id, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+         |  FROM pairs) r
+         |WHERE rank <= $TopK""".stripMargin,
+
+    "e04_cosine_neardup_pairs" ->
+      s"""SELECT ea.vec_id AS ida, eb.vec_id AS idb,
+         |  ea.label AS la, eb.label AS lb, $CosSql AS cos
+         |FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+         |WHERE $CosSql >= 0.4""".stripMargin
+  )
+}
