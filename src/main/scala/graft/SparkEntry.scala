@@ -21,7 +21,9 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracle),
       (CawdQueries.queries, CawdQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
-      (VectorQueries.queries, VectorQueries.oracle)
+      (VectorQueries.queries, VectorQueries.oracle),
+      (MediaQueries.queries, MediaQueries.oracle),
+      (StreamingQueries.queries, StreamingQueries.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

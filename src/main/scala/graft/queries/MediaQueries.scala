@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.multimodal.Media
+
+/** Multimodal pipeline pack: opaque-binary media columns + partition-batched
+  * (stub) decode + feature/resize/rollup stages. The decode values are
+  * md5-derived ([[Media.FakeCodec]]) so DuckDB can verify the whole
+  * pipeline value-by-value even though the "codec" is a stand-in.
+  */
+object MediaQueries {
+
+  private def features(s: SparkSession, d: String): DataFrame =
+    Media.extractFeatures(Media.mediaTable(s, documents(s, d))).toDF()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary ingest + per-partition decode; 8-dim feature flattened for
+    // stable cross-engine comparison.
+    "m01_media_features" -> ((s, d) => {
+      val f = features(s, d)
+      val featCols = (0 until 8).map(i =>
+        element_at(col("feature"), i + 1).as(s"f$i"))
+      f.select(Seq(col("media_id"), col("modality"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames")) ++ featCols: _*)
+    }),
+
+    // Deterministic resize kernel stand-in (floor semantics, see Media.resize).
+    "m02_media_resize" -> ((s, d) =>
+      Media.resize(
+        Media.extractFeatures(Media.mediaTable(s, documents(s, d))), 128)),
+
+    // Downstream rollup: modality-level corpus statistics.
+    "m03_modality_rollup" -> ((s, d) => {
+      features(s, d).groupBy(col("modality")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("width")), 6).as("avg_width"),
+        round(avg(col("height")), 6).as("avg_height"),
+        sum(col("n_frames")).as("total_frames"))
+    })
+  )
+
+  /** DuckDB mirror of [[Media.FakeCodec]] — md5-nibble arithmetic. */
+  private val FeatureCte = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1)"
+    val feats = (0 until 8).map(i => s"${nib(8 + i)} / 15.0 AS f$i").mkString(", ")
+    s"""feat AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |    octet_length(encode(text)) AS n_bytes,
+       |    16 * (1 + ${nib(0)}) AS width,
+       |    16 * (1 + ${nib(1)}) AS height,
+       |    CASE CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+       |      WHEN 'video' THEN 1 + ${nib(2)} WHEN 'image' THEN 1 ELSE 0 END AS n_frames,
+       |    $feats
+       |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents) t)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "m01_media_features" ->
+      s"""WITH $FeatureCte
+         |SELECT media_id, modality, n_bytes, width, height, n_frames,
+         |       ${(0 until 8).map(i => s"f$i").mkString(", ")}
+         |FROM feat""".stripMargin,
+
+    "m02_media_resize" ->
+      s"""WITH $FeatureCte
+         |SELECT media_id, modality,
+         |  CAST(floor(width * least(1.0, 128.0 / greatest(width, height))) AS INT) AS width,
+         |  CAST(floor(height * least(1.0, 128.0 / greatest(width, height))) AS INT) AS height
+         |FROM feat""".stripMargin,
+
+    "m03_modality_rollup" ->
+      s"""WITH $FeatureCte
+         |SELECT modality, count(*) AS n, sum(n_bytes) AS total_bytes,
+         |  round(avg(width), 6) AS avg_width, round(avg(height), 6) AS avg_height,
+         |  sum(n_frames) AS total_frames
+         |FROM feat GROUP BY modality""".stripMargin
+  )
+}

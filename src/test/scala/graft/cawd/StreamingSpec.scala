@@ -1,0 +1,54 @@
+package graft.cawd
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+
+/** Cross-batch state: a file arriving in a later micro-batch must dedup
+  * against chunks stored by earlier batches (the reference's monotonically
+  * growing server store, SURVEY.md §2.8).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  test("streaming dedup holds chunk-store state across micro-batches") {
+    val spark = GraftSession.get("streaming-spec")
+    val root = Files.createTempDirectory("stream-spec").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val store = s"$root/store"; val stats = s"$root/stats"; val ckpt = s"$root/ckpt"
+
+    val df = spark.range(0, 2000).select(col("id"),
+      concat(lit("v-"), col("id") % 50).as("s"))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$root/src")
+    val src = new java.io.File(s"$root/src").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+
+    // wave 1
+    java.nio.file.Files.copy(src.toPath, new java.io.File(inDir, "a.parquet").toPath)
+    StreamingEngine.start(spark, inDir, store, stats, ".parquet",
+      CawdEngine.Parquet, ckpt).awaitTermination()
+    // wave 2: byte-identical copy, new batch
+    java.nio.file.Files.copy(src.toPath, new java.io.File(inDir, "b.parquet").toPath)
+    StreamingEngine.start(spark, inDir, store, stats, ".parquet",
+      CawdEngine.Parquet, ckpt).awaitTermination()
+
+    val rows = spark.read.parquet(stats)
+    val byBatchFile = rows.filter(col("metric") === "DedupBytes")
+      .select("file", "value", "batch_id").collect()
+      .map(r => (r.getString(0).replaceAll(".*/", ""), r.getDouble(1))).toMap
+    // wave-2 file deduped against wave-1's store entries
+    assert(byBatchFile("b.parquet") > 0.0, "cross-batch dedup must hit")
+    // wave-1 cold file has no hits (single file, distinct pages)
+    val aTransfer = rows.filter(col("metric") === "TransferBytes" &&
+      col("file").endsWith("a.parquet")).select("value").head().getDouble(0)
+    val bTransfer = rows.filter(col("metric") === "TransferBytes" &&
+      col("file").endsWith("b.parquet")).select("value").head().getDouble(0)
+    assert(bTransfer < aTransfer, "warm transfer moves fewer bytes than cold")
+
+    // store holds each signature once
+    val storeDf = spark.read.parquet(store)
+    assert(storeDf.count() == storeDf.select("signature").distinct().count())
+    spark.stop()
+  }
+}
