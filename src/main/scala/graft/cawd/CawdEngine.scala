@@ -75,14 +75,19 @@ object CawdEngine {
     * → per-file + global stat rollup.
     */
   def flatDedupStats(spark: SparkSession, dir: String, fmt: Format,
-                     duplicate: Boolean = false): DataFrame = {
-    val (suffix, dedupable, mode) = fmt match {
-      case Parquet => (".parquet", ChunkType.parquetDedupable, OrcChunker.Naive)
-      case Orc     => (".orc", ChunkType.naiveOrcDedupable, OrcChunker.Naive)
+                     duplicate: Boolean = false,
+                     orcMode: OrcChunker.Mode = OrcChunker.Naive,
+                     smallThreshold: Long = 0L): DataFrame = {
+    val (suffix, dedupable) = fmt match {
+      case Parquet => (".parquet", ChunkType.parquetDedupable)
+      case Orc => (".orc", orcMode match {
+        case OrcChunker.Naive => ChunkType.naiveOrcDedupable
+        case _                => ChunkType.columnOrcDedupable
+      })
     }
-    val base = chunkFiles(spark, listFiles(dir, suffix), fmt, mode)
+    val base = chunkFiles(spark, listFiles(dir, suffix), fmt, orcMode)
     val chunks = if (duplicate) withDuplicates(base) else base
-    val status = Dedup.flatStatus(chunks.toDF(), dedupable)
+    val status = Dedup.flatStatus(chunks.toDF(), dedupable, smallThreshold)
     Stats.rollup(Stats.fromStatus(status))
   }
 

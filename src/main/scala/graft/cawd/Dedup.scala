@@ -86,11 +86,14 @@ object Dedup {
   def flatStatus(chunks: DataFrame, dedupable: Set[String],
                  smallThreshold: Long = 0L,
                  store: Option[DataFrame] = None): DataFrame = {
-    val special = chunks
+    // the chunk set feeds multiple plan branches (probe + passthrough) and
+    // the probe joins back on itself — cache to chunk each file exactly once
+    val cached = chunks.cache()
+    val special = cached
       .filter(col("parentSeq") === -1) // hierarchical subchunks not in play here
       .filter(col("chunkType").isInCollection(dedupable) &&
         col("size") > smallThreshold)
-    val plain = chunks.filter(col("parentSeq") === -1)
+    val plain = cached.filter(col("parentSeq") === -1)
       .filter(!(col("chunkType").isInCollection(dedupable) &&
         col("size") > smallThreshold))
       .withColumn("status",
@@ -121,7 +124,9 @@ object Dedup {
                          stripeStore: Option[DataFrame] = None,
                          columnStore: Option[DataFrame] = None,
                          footerStore: Option[DataFrame] = None): DataFrame = {
-    val top = chunks.filter(col("parentSeq") === -1 || col("chunkType") === ChunkType.Column)
+    val top = chunks
+      .filter(col("parentSeq") === -1 || col("chunkType") === ChunkType.Column)
+      .cache() // referenced by every cascade stage below
 
     // 1. whole-stripe probe. A missed stripe normally delegates its bytes to
     //    per-column probes ("miss_delegated"); a stripe whose stream layout
@@ -138,6 +143,7 @@ object Dedup {
           .when(col("c_file").isNotNull, lit("miss_delegated"))
           .otherwise(lit("miss")))
       .drop(IsFirstCol, InStoreCol, "c_file", "c_parent")
+      .cache() // reused by linked-chunk + column-cascade joins and the union
 
     val stripeOutcome = stripeStatus.select(
       col("file").as("s_file"), col("seq").as("s_seq"), col("status").as("s_status"))

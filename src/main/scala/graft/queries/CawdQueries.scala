@@ -80,6 +80,14 @@ object CawdQueries {
       normalized(CawdEngine.flatDedupStats(s, orcDir, CawdEngine.Orc, duplicate = true))
     }),
 
+    // S2+P3: column-based ORC dedup with the reference's 50 B small-column
+    // bypass (`orc/net/ColumnBasedORCStreamer.java:109`), warm.
+    "c08_orc_column_dedup_warm" -> ((s, d) => {
+      val orcDir = ensureOrcFixtures(s, d)
+      normalized(CawdEngine.flatDedupStats(s, orcDir, CawdEngine.Orc,
+        duplicate = true, orcMode = OrcChunker.ColumnBased, smallThreshold = 50L))
+    }),
+
     // S3+J3-J5: hierarchical stripe→column cascade, warm.
     "c05_orc_sp_cascade_warm" -> ((s, d) => {
       val orcDir = ensureOrcFixtures(s, d)

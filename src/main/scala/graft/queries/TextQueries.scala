@@ -73,16 +73,24 @@ object TextQueries {
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache() // both sides of the candidate self-join
   }
 
   /** Exact pairwise Jaccard over shingles (ida < idb), optionally restricted
     * to a candidate-pair set (the LSH path — only candidates are verified).
     */
   private def jaccardOf(df: DataFrame, cands: Option[DataFrame]): DataFrame = {
-    val sh = docShingles(df)
+    val sh = docShingles(df).cache() // probed 3× (sizes + both join sides)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val joined = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // prune each join side to docs that appear in candidates BEFORE the
+    // shingle-match join — the LSH verify stage then scales with the
+    // candidate set, not the corpus
+    val shA = cands.fold(sh)(c =>
+      sh.join(c.select(col("ida").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+    val shB = cands.fold(sh)(c =>
+      sh.join(c.select(col("idb").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+    val joined = shA.as("a")
+      .join(shB.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
     val restricted = cands.fold(joined)(c =>
       joined.join(c, col("a.doc_id") === c("ida") && col("b.doc_id") === c("idb"), "left_semi"))
     val common = restricted
@@ -103,10 +111,11 @@ object TextQueries {
   private def simhashSql(spark: Boolean): String = {
     def shr(x: String, n: Int) = if (spark) s"shiftright($x, $n)" else s"($x >> $n)"
     // bit p (0..63) of md5(token): nibble = hex char p/4, bit = (nib >> (3-p%4)) & 1
-    val bitSums = (0 until 64).map { p =>
+    val tokenBits = (0 until 64).map { p =>
       val nib = s"(strpos('0123456789abcdef', substr(h, ${1 + p / 4}, 1)) - 1)"
-      s"sum(tf * (2 * (${shr(nib, 3 - p % 4)} & 1) - 1)) AS s$p"
+      s"(${shr(nib, 3 - p % 4)} & 1) AS bit$p"
     }.mkString(", ")
+    val bitSums = (0 until 64).map(p => s"sum(tf * (2 * bit$p - 1)) AS s$p").mkString(", ")
     val bandCols = (0 until 4).map { b =>
       val bits = (b * 16 until (b + 1) * 16).map { p =>
         s"(CASE WHEN s$p > 0 THEN ${1L << (15 - p % 16)} ELSE 0 END)"
@@ -115,10 +124,16 @@ object TextQueries {
     }.mkString(", ")
     val strposFn = if (spark) "instr" else "strpos"
     val splitFn = if (spark) "split" else "string_split"
+    // the md5-bit extraction runs once per DISTINCT token (tok CTE), not per
+    // token occurrence — token vocabularies are Zipf-distributed, so this
+    // cuts the string work by orders of magnitude at corpus scale; the
+    // per-doc weighted bit sums are unchanged.
     s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf
        |  FROM (SELECT doc_id, ${if (spark) "explode" else "unnest"}($splitFn(text, ' ')) AS t FROM documents) x
        |  GROUP BY doc_id, t),
-       |th AS (SELECT doc_id, tf, md5(t) AS h FROM tf),
+       |tok AS (SELECT t, $tokenBits
+       |        FROM (SELECT t, md5(t) AS h FROM (SELECT DISTINCT t FROM tf) d) x),
+       |th AS (SELECT * FROM tf JOIN tok USING (t)),
        |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
        |SELECT doc_id, $bandCols FROM bits""".stripMargin
       .replace("strpos(", strposFn + "(")

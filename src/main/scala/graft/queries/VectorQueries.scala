@@ -34,13 +34,13 @@ object VectorQueries {
   /** Query subset: every 10th vector probes the index. */
   private val QueryFilter = "vec_id % 10 = 0"
 
-  /** cos(a, b) in double precision, element fold in index order. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** cos(a, b): the native fused-loop Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — allocation-free single pass
+    * inside whole-stage codegen; arithmetic identical to
+    * `dot / (sqrt(na) * sqrt(nb))` composed from HOFs.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   private def topkOf(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -81,14 +81,18 @@ object VectorQueries {
     embeddings(s, d).createOrReplaceTempView("embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force exact cosine top-k: the correctness baseline.
+    // Brute-force exact cosine top-k: the correctness baseline. The query
+    // side is broadcast (a small sample of the corpus), so the quadratic
+    // score pass is a single shuffle-free stage over the vector table.
     "e01_cosine_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       val q = e.filter(expr(QueryFilter))
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val pairs = q.join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+      val pairs = broadcast(q)
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
           col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"), round(cosine(col("qv"), col("nv")), 6).as("cos"))
+        .select(col("q_id"), col("n_id"),
+          round(cosine(col("qv"), col("nv")), 6).as("cos"))
       topkOf(pairs)
     }),
 
@@ -104,13 +108,7 @@ object VectorQueries {
            |  WHERE q.vec_id % 10 = 0),
            |scored AS (
            |  SELECT q_id, n_id,
-           |    round(aggregate(zip_with(ea.embedding, eb.embedding,
-           |            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-           |          CAST(0 AS DOUBLE), (acc, v) -> acc + v) /
-           |      (sqrt(aggregate(transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-           |            CAST(0 AS DOUBLE), (acc, v) -> acc + v)) *
-           |       sqrt(aggregate(transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-           |            CAST(0 AS DOUBLE), (acc, v) -> acc + v))), 6) AS cos
+           |    round(cosine_sim(ea.embedding, eb.embedding), 6) AS cos
            |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
            |            JOIN embeddings eb ON cand.n_id = eb.vec_id)
            |SELECT q_id, rank, n_id, cos FROM (
@@ -133,6 +131,7 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), col("c_id"),
           round(cosine(col("embedding"), col("cv")), 6).as("ccos"))
         .withColumn("crank", row_number().over(wAssign))
+        .cache() // feeds both the assignment and the probe sides
       val assigned = cells.filter(col("crank") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
       // each query probes its nprobe nearest cells
@@ -155,7 +154,7 @@ object VectorQueries {
         col("label").as("la"))
       val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
         col("label").as("lb"))
-      a.join(b, col("ida") < col("idb"))
+      a.join(broadcast(b), col("ida") < col("idb"))
         .select(col("ida"), col("idb"), col("la"), col("lb"),
           round(cosine(col("va"), col("vb")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
