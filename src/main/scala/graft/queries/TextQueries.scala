@@ -27,13 +27,18 @@ object TextQueries {
   /** Whitespace tokens of `text`. */
   private val toks: Column = split(col("text"), " ")
 
-  /** Word 3-gram shingles (distinct per doc). */
+  /** Word 3-gram shingles (distinct per doc), built from a pre-split token
+    * array column `w` — the split regex runs ONCE per document, not once per
+    * element inside the transform lambda (Catalyst does not common-
+    * subexpression-eliminate through lambda bodies, so inlining `split`
+    * costs O(tokens) regex evaluations per doc).
+    */
   private val shingleExpr =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                        element_at(split(text, ' '), i + 1),
-      |                        element_at(split(text, ' '), i + 2))))
+    """CASE WHEN size(w) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(w) - 2),
+      |    i -> concat_ws(' ', element_at(w, i),
+      |                        element_at(w, i + 1),
+      |                        element_at(w, i + 2))))
       |ELSE array() END""".stripMargin
 
   private val ShingleSqlCtes =
@@ -58,7 +63,8 @@ object TextQueries {
   // --- shared spark fragments -------------------------------------------
 
   private def docShingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
 
   /** (doc_id, band, bkey) minhash LSH band keys. One shingle explode, k min
     * aggregates, band concat — the at-scale shape.
