@@ -54,6 +54,22 @@ def main():
             n_fail += 1
             continue
         try:
+            # Type discipline: only STRING/BIGINT-or-narrower-int/DOUBLE/BOOLEAN
+            # survive every engine->client path identically. DECIMAL, HUGEINT,
+            # DATE, TIMESTAMP render differently via pandas vs fetchall and
+            # would hash-mismatch in the driver even when values are equal.
+            risky = ("DECIMAL", "HUGEINT", "DATE", "TIMESTAMP")
+            bad_types = []
+            for q, side in ((sql, "oracle"),
+                            (f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')", "spark")):
+                for row in con.execute(f"DESCRIBE {q}").fetchall():
+                    cname, ctype = row[0], row[1]
+                    if any(t in ctype.upper() for t in risky):
+                        bad_types.append(f"{side}.{cname}:{ctype}")
+            if bad_types:
+                print(f"FAIL {name}: risky output types: {bad_types}")
+                n_fail += 1
+                continue
             o = con.execute(sql)
             ocols = [d[0] for d in o.description]
             orows = o.fetchall()

@@ -74,9 +74,9 @@ object MediaQueries {
 
     "m03_modality_rollup" ->
       s"""WITH $FeatureCte
-         |SELECT modality, count(*) AS n, sum(n_bytes) AS total_bytes,
+         |SELECT modality, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          |  round(avg(width), 6) AS avg_width, round(avg(height), 6) AS avg_height,
-         |  sum(n_frames) AS total_frames
+         |  CAST(sum(n_frames) AS BIGINT) AS total_frames
          |FROM feat GROUP BY modality""".stripMargin
   )
 }

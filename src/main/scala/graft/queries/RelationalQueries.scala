@@ -17,9 +17,18 @@ import graft.Tables._
   *
   * Determinism contract (the driver hash-compares against a DuckDB oracle):
   * every aggregated money/measure column is summed as DECIMAL (exact, order-
-  * independent) and cast to a fixed scale; every ratio is computed from the
-  * exact decimal via one double division, then rounded. No output bit depends
-  * on partition/merge order.
+  * independent); every ratio is computed from the exact decimal via one
+  * double division, then rounded. No output bit depends on partition/merge
+  * order.
+  *
+  * Output type discipline: result columns are only STRING, BIGINT, or
+  * DOUBLE. DECIMAL outputs render differently across engine→client paths
+  * (DuckDB→pandas widens DECIMAL to float64 and BIGINT sums to HUGEINT,
+  * while parquet DECIMAL surfaces as exact Decimal objects), so the exact
+  * decimal sum is cast to DOUBLE *once* at the end — both engines perform
+  * the identical correctly-rounded decimal→double conversion. Dates and
+  * timestamps are emitted as formatted strings / epoch integers for the
+  * same reason.
   */
 object RelationalQueries {
 
@@ -32,15 +41,15 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           sum(dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")) *
             (lit(1).cast("decimal(4,2)") + dec(col("l_tax"), "decimal(4,2)")))
-            .cast("decimal(38,6)").as("sum_charge"),
+            .cast("double").as("sum_charge"),
           round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
           round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -52,7 +61,7 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n_items"),
-          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"))
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
     // A3: exact percentile bundle min/p25/p50/p75/max per metric type
@@ -80,7 +89,7 @@ object RelationalQueries {
         .agg(
           sum(dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
-            .cast("decimal(38,4)").as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -125,20 +134,21 @@ object RelationalQueries {
     // Time-dimension rollup (month grain).
     "q09_orders_by_month" -> ((s, d) => {
       orders(s, d)
-        .groupBy(trunc(col("o_orderdate"), "MONTH").as("month"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
     }),
 
     // Window share-of-group over exact decimal partition sums.
     "q10_brand_share" -> ((s, d) => {
       val w = Window.partitionBy(col("p_brand"))
       part(s, d)
-        .withColumn("brand_total", sum(dec(col("p_retailprice"))).over(w).cast("decimal(38,2)"))
+        .withColumn("brand_total_dec", sum(dec(col("p_retailprice"))).over(w))
         .withColumn("share",
-          round(dec(col("p_retailprice")).cast("double") / col("brand_total").cast("double"), 6))
-        .select(col("p_partkey"), col("p_brand"), col("brand_total"), col("share"))
+          round(dec(col("p_retailprice")).cast("double") / col("brand_total_dec").cast("double"), 6))
+        .select(col("p_partkey"), col("p_brand"),
+          col("brand_total_dec").cast("double").as("brand_total"), col("share"))
     }),
 
     // Streaming-shaped batch query: 5-minute epoch-aligned buckets over events
@@ -146,21 +156,21 @@ object RelationalQueries {
     "q11_event_buckets" -> ((s, d) => {
       events(s, d)
         .groupBy(
-          timestamp_seconds(floor(unix_timestamp(col("ts")) / 300) * 300).as("bucket"),
+          (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("bucket"),
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("value"), "decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+          sum(dec(col("value"), "decimal(18,6)")).cast("double").as("sum_value"))
     })
   )
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
         |  count(*) AS count_order
@@ -170,7 +180,7 @@ object RelationalQueries {
 
     "q02_global_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q03_percentiles" ->
@@ -183,7 +193,7 @@ object RelationalQueries {
 
     "q04_revenue_by_nation" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -214,21 +224,21 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
 
     "q09_orders_by_month" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
 
     "q10_brand_share" ->
       """SELECT p_partkey, p_brand,
-        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS brand_total,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS DOUBLE) AS brand_total,
         |  round(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) /
-        |        CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS DOUBLE), 6) AS share
+        |        CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS DOUBLE), 6) AS share
         |FROM part""".stripMargin,
 
     "q11_event_buckets" ->
-      """SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS bucket, event_type,
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
