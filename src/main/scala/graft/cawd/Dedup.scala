@@ -165,7 +165,7 @@ object Dedup {
     val columnsOfMissed = top.filter(col("chunkType") === ChunkType.Column)
       .join(stripeOutcome,
         col("file") === col("s_file") && col("parentSeq") === col("s_seq"))
-      .filter(col("s_status") === "miss")
+      .filter(col("s_status") === "miss_delegated")
       .drop("s_file", "s_seq", "s_status")
     val bigCols = columnsOfMissed.filter(col("size") > smallThreshold)
     val smallCols = columnsOfMissed.filter(col("size") <= smallThreshold)

@@ -160,6 +160,25 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(copy.getOrElse("hit", 0L) > 0L)
   }
 
+  test("cascade accounting: columns of delegated stripes probe and tile their bytes") {
+    import spark.implicits._
+    val base = spark.createDataset(OrcChunker.chunk(orcPath, 0, OrcChunker.StripeColumn))
+    val status = Dedup.hierarchicalStatus(base.toDF())
+    val delegated = status.filter(col("status") === "miss_delegated")
+      .select("seq", "size").as[(Int, Long)].collect().toMap
+    assert(delegated.nonEmpty, "cold stripes with parsed columns must delegate")
+    val colRows = status.filter(col("chunkType") === ChunkType.Column)
+      .select("parentSeq", "size", "status").as[(Int, Long, String)].collect()
+    assert(colRows.nonEmpty, "delegated stripes must produce column probe rows")
+    assert(colRows.forall(r => Set("hit", "miss", "small").contains(r._3)),
+      "column outcomes are hit/miss/small")
+    // the column rows of each delegated stripe account for ALL its data bytes,
+    // so Stats.fromStatus (which ignores miss_delegated stripes when summing
+    // sent bytes) never drops delegated stripe-data bytes
+    val colBytes = colRows.groupMapReduce(_._1)(_._2)(_ + _)
+    assert(colBytes == delegated, "column rows tile every delegated stripe's bytes")
+  }
+
   test("stats rollup: two levels, exact distinct percentiles (reference p50/p75 bug fixed)") {
     import spark.implicits._
     val stats = Seq(
