@@ -1,0 +1,56 @@
+package graft.cawd
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materializes chunk tables as plain parquet so an external SQL engine
+  * (the driver's DuckDB oracle) can re-derive the dedup decision and the
+  * stats rollup INDEPENDENTLY of this engine's Spark plans.
+  *
+  * The reference never had a correctness oracle for its core capability
+  * (SURVEY.md §5 — log eyeballing only). Here the contract is: the chunker
+  * (byte-level, unit/property-tested) emits a chunk relation
+  * `(file, fileRank, seq, chunkType, start, size, colId, colType,
+  * parentSeq, sig)`; everything downstream — first-occurrence dedup,
+  * hierarchical cascade, byte accounting, two-level stats rollup — is pure
+  * relational algebra over that table, so a second engine can recompute it
+  * from the same parquet and value-compare.
+  */
+object CawdExport {
+
+  /** Fixed root (not `java.io.tmpdir`) because the oracle SQL strings are
+    * static and must name the same absolute path the export writes to.
+    */
+  val Root = "/tmp/graft-cawd-export"
+
+  def dir(sfDir: String, tag: String): String =
+    s"$Root/${new Path(sfDir).getName}/$tag"
+
+  /** Write the chunk table (basename file, hex signature, no content) under
+    * [[dir]] and read it back, so the Spark-side query and the DuckDB
+    * oracle compute from byte-identical input.
+    */
+  def materialize(spark: SparkSession, sfDir: String, tag: String,
+                  chunks: Dataset[FileChunk]): DataFrame = {
+    val out = dir(sfDir, tag)
+    chunks.toDF()
+      .select(
+        regexp_replace(col("file"), ".*/", "").as("file"),
+        col("fileRank"), col("seq"), col("chunkType"), col("start"),
+        col("size"), col("colId"), col("colType"), col("parentSeq"),
+        lower(hex(col("signature"))).as("sig"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).withColumnRenamed("sig", "signature")
+  }
+
+  /** Write an arbitrary small DataFrame (e.g. the plain-baseline file list)
+    * under [[dir]] and read it back.
+    */
+  def materializeDf(spark: SparkSession, sfDir: String, tag: String,
+                    df: DataFrame): DataFrame = {
+    val out = dir(sfDir, tag)
+    df.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+}

@@ -65,12 +65,15 @@ object Stats {
       .when(col("chunkType") === ChunkType.FileFooter, "Footer")
       .otherwise("Chunk")
 
+    // Column subchunks of delegated stripes OVERLAY their stripe's data
+    // region — exclude them from FileBytes so it equals the file's length.
+    val topLevel = !(col("chunkType") === ChunkType.Column && col("parentSeq") =!= -1)
     val perFile = statusDf.groupBy(col("file")).agg(
       sum(when(sent, col("size")).otherwise(0L)).as("transfer"),
       sum(when(col("status") === "hit", col("size")).otherwise(0L)).as("dedup"),
       sum(when(probed, lit(Dedup.Wire.SigProbe)).otherwise(0L)).as("probeOverhead"),
       max(length(col("file")) + 12).as("headerOverhead"),
-      sum(col("size")).as("fileBytes"))
+      sum(when(topLevel, col("size")).otherwise(0L)).as("fileBytes"))
 
     val counters = statusDf
       .filter(probed || col("status") === "small")

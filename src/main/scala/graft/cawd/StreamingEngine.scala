@@ -50,7 +50,7 @@ object StreamingEngine {
     */
   def start(spark: SparkSession, inDir: String, storeDir: String,
             statsDir: String, suffix: String, fmt: CawdEngine.Format,
-            checkpointDir: String): StreamingQuery = {
+            checkpointDir: String, exportDir: Option[String] = None): StreamingQuery = {
     val files = spark.readStream
       .format("binaryFile")
       .schema(org.apache.spark.sql.execution.datasources.binaryfile.BinaryFileFormat.schema)
@@ -64,7 +64,7 @@ object StreamingEngine {
     files.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, storeDir, statsDir, fmt)
+        processBatch(spark, batch, batchId, storeDir, statsDir, fmt, exportDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -76,7 +76,8 @@ object StreamingEngine {
     */
   private[cawd] def processBatch(spark: SparkSession, batch: DataFrame,
                                  batchId: Long, storeDir: String,
-                                 statsDir: String, fmt: CawdEngine.Format): Unit = {
+                                 statsDir: String, fmt: CawdEngine.Format,
+                                 exportDir: Option[String] = None): Unit = {
     val paths = batch.select("path").collect().map(_.getString(0)).sorted
     if (paths.isEmpty) return
     // ranks are per-batch; earlier batches' chunks are already in the store,
@@ -89,8 +90,12 @@ object StreamingEngine {
       case CawdEngine.Parquet => ChunkType.parquetDedupable
       case CawdEngine.Orc     => ChunkType.naiveOrcDedupable
     }
+    // stats/export see basenames so downstream output (and the DuckDB
+    // oracle re-deriving it) doesn't depend on temp-dir paths
     val status = Dedup.flatStatus(chunks.toDF(), dedupable,
-      store = readStore(spark, storeDir)).cache()
+      store = readStore(spark, storeDir))
+      .withColumn("file", regexp_replace(col("file"), ".*/", ""))
+      .cache()
     try {
       // insert-on-miss: append this batch's first-occurrence chunks
       status.filter(col("status") === "miss")
@@ -99,6 +104,16 @@ object StreamingEngine {
       Stats.fromStatus(status)
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(statsDir)
+      // chunk-status table for the external oracle: cross-batch dedup is
+      // re-derivable as first-occurrence by (batchId, fileRank, seq)
+      exportDir.foreach { dir =>
+        status.select(col("file"), lit(batchId).as("batchId"),
+          col("fileRank"), col("seq"), col("chunkType"), col("start"),
+          col("size"), col("parentSeq"),
+          lower(hex(col("signature"))).as("sig"),
+          col("status").as("engine_status"))
+          .write.mode("append").parquet(dir)
+      }
     } finally status.unpersist()
   }
 

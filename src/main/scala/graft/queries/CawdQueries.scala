@@ -10,10 +10,15 @@ import graft.cawd._
   * (SURVEY.md §2.1-§2.8) run end-to-end on the driver corpus's parquet
   * files and on ORC copies of its tables.
   *
-  * These operate on raw file BYTES (structural chunking), so no DuckDB
-  * oracle can express them — they are registered without `oracleSql` and
-  * take the driver's rows-only check. Outputs are small deterministic
-  * aggregates (chunk-type counts, per-metric stats, per-file booleans).
+  * Correctness model: the byte-level chunkers are unit/property-tested
+  * (CawdSpec); everything downstream of the chunk table — first-occurrence
+  * dedup, hierarchical cascade, wire/byte accounting, two-level stats
+  * rollup — is pure relational algebra. Each query therefore materializes
+  * its chunk table as parquet ([[graft.cawd.CawdExport]]) and carries a
+  * DuckDB `oracleSql` that RE-DERIVES the dedup decision and the stats
+  * rollup from that table independently, so the driver hash-compares
+  * values, not just row counts. Only c06 (byte-identity reconstruction) is
+  * inherently byte-level and stays rows-only + unit-tested.
   */
 object CawdQueries {
 
@@ -47,19 +52,34 @@ object CawdQueries {
   private def base(c: org.apache.spark.sql.Column) =
     regexp_replace(c, ".*/", "")
 
-  /** Stats pipelines produce (file, metric, ...) rollups; normalize file to
-    * its basename so output doesn't depend on tmpdir/sf paths.
+  /** Chunk → export → dedup-from-export → stats. Both this plan and the
+    * DuckDB oracle consume the SAME materialized chunk table, so the dedup
+    * decision + accounting get a value-level external check (and chunking
+    * runs once instead of per consumer).
     */
-  private def normalized(df: DataFrame): DataFrame =
-    df.withColumn("file", base(col("file")))
-      .orderBy("file", "metric")
+  private def flatFromExport(s: SparkSession, sfDir: String, srcDir: String,
+                             fmt: CawdEngine.Format, tag: String,
+                             duplicate: Boolean, orcMode: OrcChunker.Mode,
+                             smallThreshold: Long,
+                             dedupable: Set[String]): DataFrame = {
+    val suffix = fmt match {
+      case CawdEngine.Parquet => ".parquet"
+      case CawdEngine.Orc     => ".orc"
+    }
+    val chunked = CawdEngine.chunkFiles(s, CawdEngine.listFiles(srcDir, suffix), fmt, orcMode)
+    val chunks = if (duplicate) CawdEngine.withDuplicates(chunked) else chunked
+    val tbl = CawdExport.materialize(s, sfDir, tag, chunks)
+    val status = Dedup.flatStatus(tbl, dedupable, smallThreshold)
+    Stats.rollup(Stats.fromStatus(status)).orderBy("file", "metric")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: structural parquet chunk table over every corpus parquet file.
     "c01_parquet_chunk_table" -> ((s, d) => {
-      val files = CawdEngine.listFiles(d, ".parquet")
-      CawdEngine.chunkFiles(s, files, CawdEngine.Parquet).toDF()
-        .groupBy(base(col("file")).as("file"), col("chunkType"))
+      val chunks = CawdEngine.chunkFiles(s,
+        CawdEngine.listFiles(d, ".parquet"), CawdEngine.Parquet)
+      CawdExport.materialize(s, d, "c01", chunks)
+        .groupBy(col("file"), col("chunkType"))
         .agg(count(lit(1)).as("n_chunks"), sum(col("size")).as("bytes"))
         .orderBy("file", "chunkType")
     }),
@@ -67,34 +87,38 @@ object CawdQueries {
     // S4+J1+A1-A4: parquet pipeline, cold store (every first-occurrence
     // chunk misses; intra-corpus duplicate pages dedup).
     "c02_parquet_dedup_cold" -> ((s, d) =>
-      normalized(CawdEngine.flatDedupStats(s, d, CawdEngine.Parquet))),
+      flatFromExport(s, d, d, CawdEngine.Parquet, "c02", duplicate = false,
+        OrcChunker.Naive, 0L, ChunkType.parquetDedupable)),
 
     // Warm-store parity KPI (BASELINE.md): file + byte-identical copy →
     // copies' DedupBytes ≈ dedupable section bytes.
     "c03_parquet_dedup_warm" -> ((s, d) =>
-      normalized(CawdEngine.flatDedupStats(s, d, CawdEngine.Parquet, duplicate = true))),
+      flatFromExport(s, d, d, CawdEngine.Parquet, "c03", duplicate = true,
+        OrcChunker.Naive, 0L, ChunkType.parquetDedupable)),
 
     // S1+J1: naive ORC stripe dedup, warm.
-    "c04_orc_naive_dedup_warm" -> ((s, d) => {
-      val orcDir = ensureOrcFixtures(s, d)
-      normalized(CawdEngine.flatDedupStats(s, orcDir, CawdEngine.Orc, duplicate = true))
-    }),
+    "c04_orc_naive_dedup_warm" -> ((s, d) =>
+      flatFromExport(s, d, ensureOrcFixtures(s, d), CawdEngine.Orc, "c04",
+        duplicate = true, OrcChunker.Naive, 0L, ChunkType.naiveOrcDedupable)),
 
     // S2+P3: column-based ORC dedup with the reference's 50 B small-column
     // bypass (`orc/net/ColumnBasedORCStreamer.java:109`), warm.
-    "c08_orc_column_dedup_warm" -> ((s, d) => {
-      val orcDir = ensureOrcFixtures(s, d)
-      normalized(CawdEngine.flatDedupStats(s, orcDir, CawdEngine.Orc,
-        duplicate = true, orcMode = OrcChunker.ColumnBased, smallThreshold = 50L))
-    }),
+    "c08_orc_column_dedup_warm" -> ((s, d) =>
+      flatFromExport(s, d, ensureOrcFixtures(s, d), CawdEngine.Orc, "c08",
+        duplicate = true, OrcChunker.ColumnBased, 50L, ChunkType.columnOrcDedupable)),
 
     // S3+J3-J5: hierarchical stripe→column cascade, warm.
     "c05_orc_sp_cascade_warm" -> ((s, d) => {
       val orcDir = ensureOrcFixtures(s, d)
-      normalized(CawdEngine.hierarchicalDedupStats(s, orcDir, duplicate = true))
+      val chunked = CawdEngine.chunkFiles(s, CawdEngine.listFiles(orcDir, ".orc"),
+        CawdEngine.Orc, OrcChunker.StripeColumn)
+      val tbl = CawdExport.materialize(s, d, "c05", CawdEngine.withDuplicates(chunked))
+      val status = Dedup.hierarchicalStatus(tbl)
+      Stats.rollup(Stats.fromStatus(status)).orderBy("file", "metric")
     }),
 
-    // S7: byte-identity reconstruction over both formats.
+    // S7: byte-identity reconstruction over both formats. Inherently
+    // byte-level → rows-only driver check + CawdSpec unit coverage.
     "c06_reconstruction" -> ((s, d) => {
       val orcDir = ensureOrcFixtures(s, d)
       val orc = CawdEngine.chunkFiles(s, CawdEngine.listFiles(orcDir, ".orc"),
@@ -108,25 +132,180 @@ object CawdQueries {
     }),
 
     // S6: plain no-dedup baseline — fixed 4096 B frames, no chunk smarts
-    // (`net/SpeedupStreamer.java:50-134`). Pure metadata computation.
+    // (`net/SpeedupStreamer.java:50-134`). The (file, bytes) listing is
+    // materialized so the oracle re-derives the frame math independently.
     "c07_plain_baseline" -> ((s, d) => {
       import s.implicits._
       val files = CawdEngine.listFiles(d, ".parquet").map(_._1)
       val sizes = files.map { f =>
         val p = new Path(f)
         val fs = p.getFileSystem(new Configuration())
-        (f, fs.getFileStatus(p).getLen)
+        (p.getName, fs.getFileStatus(p).getLen)
       }
-      s.createDataset(sizes).toDF("file", "bytes")
+      CawdExport.materializeDf(s, d, "c07",
+          s.createDataset(sizes).toDF("file", "bytes"))
         .select(
-          base(col("file")).as("file"),
+          col("file"),
           col("bytes").as("transfer_bytes"),
           ceil(col("bytes") / 4096.0).cast("long").as("frames"),
-          (length(base(col("file"))) + 12).cast("long").as("extra_bytes"))
+          (length(col("file")) + 12).cast("long").as("extra_bytes"))
         .orderBy("file")
     })
   )
 
-  /** Raw-file structural ops — not expressible in SQL over the tables. */
-  val oracle: Map[String, String] = Map.empty
+  import CawdOracleSql._
+
+  val oracle: Map[String, String] = Map(
+    "c01_parquet_chunk_table" ->
+      s"""SELECT file, chunkType, count(*) AS n_chunks,
+         |  CAST(sum(size) AS BIGINT) AS bytes
+         |FROM read_parquet('${exportGlob("c01")}')
+         |GROUP BY file, chunkType""".stripMargin,
+    "c02_parquet_dedup_cold" -> flatSql("c02", ChunkType.parquetDedupable, 0L),
+    "c03_parquet_dedup_warm" -> flatSql("c03", ChunkType.parquetDedupable, 0L),
+    "c04_orc_naive_dedup_warm" -> flatSql("c04", ChunkType.naiveOrcDedupable, 0L),
+    "c08_orc_column_dedup_warm" -> flatSql("c08", ChunkType.columnOrcDedupable, 50L),
+    "c05_orc_sp_cascade_warm" -> hierarchicalSql("c05"),
+    "c07_plain_baseline" ->
+      s"""SELECT file, bytes AS transfer_bytes,
+         |  CAST(ceil(bytes / 4096.0) AS BIGINT) AS frames,
+         |  CAST(length(file) + 12 AS BIGINT) AS extra_bytes
+         |FROM read_parquet('${exportGlob("c07")}')""".stripMargin
+  )
+}
+
+/** DuckDB SQL that re-derives the dedup decision + stats rollup from the
+  * chunk tables materialized by [[graft.cawd.CawdExport]]. Correctness
+  * always runs at sf0.01 (driver contract), so export paths are pinned to
+  * that scale factor. Shared with [[StreamingQueries]] (s01's cross-batch
+  * variant).
+  */
+private[queries] object CawdOracleSql {
+
+  def exportGlob(tag: String): String =
+    s"${CawdExport.Root}/sf0.01/$tag/*.parquet"
+
+  /** Shared tail: status(file, chunkType, size, parentSeq, status) →
+    * per-file byte metrics + probe counters → two-level rollup, mirroring
+    * [[graft.cawd.Stats]] exactly (SigProbe = 4+20 = 24 B; Column overlay
+    * rows excluded from FileBytes; `general` = all-files level).
+    */
+  val statsRollupSql: String =
+    """perfile AS (
+      |  SELECT file,
+      |    sum(CASE WHEN status IN ('raw','small','miss') THEN size ELSE 0 END) AS transfer,
+      |    sum(CASE WHEN status = 'hit' THEN size ELSE 0 END) AS dedup,
+      |    24 * sum(CASE WHEN status IN ('hit','miss','miss_delegated') THEN 1 ELSE 0 END) AS probe,
+      |    max(length(file) + 12) AS header,
+      |    sum(CASE WHEN NOT (chunkType = 'Column' AND parentSeq <> -1) THEN size ELSE 0 END) AS filebytes
+      |  FROM status GROUP BY file),
+      |bytes AS (
+      |  SELECT file, 'FileBytes' AS metric, 'Bytes' AS unit, CAST(filebytes AS DOUBLE) AS value FROM perfile
+      |  UNION ALL SELECT file, 'TransferBytes', 'Bytes', CAST(transfer AS DOUBLE) FROM perfile
+      |  UNION ALL SELECT file, 'DedupBytes', 'Bytes', CAST(dedup AS DOUBLE) FROM perfile
+      |  UNION ALL SELECT file, 'ExtraTransferBytes', 'Bytes', CAST(probe + header AS DOUBLE) FROM perfile),
+      |cnt AS (
+      |  SELECT file,
+      |    concat(
+      |      CASE WHEN chunkType = 'StripeData' THEN 'Stripe'
+      |           WHEN chunkType = 'Column' THEN 'Column'
+      |           WHEN chunkType = 'FileFooter' THEN 'Footer' ELSE 'Chunk' END,
+      |      CASE WHEN status = 'hit' THEN 'Hit'
+      |           WHEN status = 'small' THEN 'Small' ELSE 'Miss' END) AS metric,
+      |    'Count' AS unit, CAST(count(*) AS DOUBLE) AS value
+      |  FROM status
+      |  WHERE status IN ('hit','miss','miss_delegated','small')
+      |  GROUP BY 1, 2),
+      |allstats AS (SELECT * FROM bytes UNION ALL SELECT * FROM cnt)
+      |SELECT file, metric, min(unit) AS unit, sum(value) AS value,
+      |  count(*) AS ocurrences, min(value) AS min_v,
+      |  round(quantile_cont(value, 0.25), 6) AS p25,
+      |  round(quantile_cont(value, 0.50), 6) AS p50,
+      |  round(quantile_cont(value, 0.75), 6) AS p75,
+      |  max(value) AS max_v
+      |FROM allstats GROUP BY file, metric
+      |UNION ALL
+      |SELECT 'general', metric, min(unit), sum(value), count(*), min(value),
+      |  round(quantile_cont(value, 0.25), 6), round(quantile_cont(value, 0.50), 6),
+      |  round(quantile_cont(value, 0.75), 6), max(value)
+      |FROM allstats GROUP BY metric""".stripMargin
+
+  /** Flat first-occurrence dedup in SQL: miss = chunk whose arrival key
+    * is the minimum for its signature among dedup-eligible chunks. The
+    * default key is fileRank·2^32 + seq (seq < 2^32); s01 prepends the
+    * micro-batch id so cross-batch store growth is captured.
+    */
+  def flatSql(tag: String, dedupable: Set[String], threshold: Long,
+              keyExpr: String = "fileRank * 4294967296 + seq"): String = {
+    val d = dedupable.toSeq.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH c AS (SELECT * FROM read_parquet('${exportGlob(tag)}')),
+       |top AS (SELECT * FROM c WHERE parentSeq = -1),
+       |special AS (SELECT * FROM top WHERE chunkType IN ($d) AND size > $threshold),
+       |firsts AS (SELECT sig, min($keyExpr) AS fk FROM special GROUP BY sig),
+       |probed AS (
+       |  SELECT file, chunkType, size, parentSeq,
+       |    CASE WHEN $keyExpr = f.fk THEN 'miss' ELSE 'hit' END AS status
+       |  FROM special JOIN firsts f USING (sig)),
+       |plain AS (
+       |  SELECT file, chunkType, size, parentSeq,
+       |    CASE WHEN chunkType IN ($d) THEN 'small' ELSE 'raw' END AS status
+       |  FROM top WHERE NOT (chunkType IN ($d) AND size > $threshold)),
+       |status AS (SELECT * FROM probed UNION ALL SELECT * FROM plain),
+       |$statsRollupSql""".stripMargin
+  }
+
+  /** Hierarchical s+p cascade in SQL, mirroring [[graft.cawd.Dedup.hierarchicalStatus]]:
+    * stripe probe (delegating to columns when the stripe has parsed ones),
+    * linked index/footer chunks following their stripe, the column cascade
+    * over delegated stripes (≤40 B bypass; ties within a stripe all first),
+    * file-footer store, and raw leftovers.
+    */
+  def hierarchicalSql(tag: String): String =
+    s"""WITH c AS (SELECT * FROM read_parquet('${exportGlob(tag)}')),
+       |top AS (SELECT * FROM c WHERE parentSeq = -1 OR chunkType = 'Column'),
+       |stripes AS (SELECT * FROM top WHERE chunkType = 'StripeData'),
+       |haskids AS (SELECT DISTINCT file AS c_file, parentSeq AS c_parent
+       |            FROM top WHERE chunkType = 'Column'),
+       |sfirst AS (SELECT sig, min(fileRank * 4294967296 + seq) AS fk FROM stripes GROUP BY sig),
+       |sstat AS (
+       |  SELECT s.*, CASE
+       |    WHEN s.fileRank * 4294967296 + s.seq <> f.fk THEN 'hit'
+       |    WHEN h.c_file IS NOT NULL THEN 'miss_delegated'
+       |    ELSE 'miss' END AS status
+       |  FROM stripes s JOIN sfirst f USING (sig)
+       |  LEFT JOIN haskids h ON s.file = h.c_file AND s.seq = h.c_parent),
+       |linked AS (
+       |  SELECT t.file, t.chunkType, t.size, t.parentSeq,
+       |    CASE WHEN ss.status = 'hit' THEN 'hit' ELSE 'raw' END AS status
+       |  FROM top t LEFT JOIN sstat ss ON t.file = ss.file AND t.parentSeq = ss.seq
+       |  WHERE t.chunkType IN ('StripeIndex','StripeFooter') AND t.parentSeq <> -1),
+       |colsof AS (
+       |  SELECT t.* FROM top t JOIN sstat ss ON t.file = ss.file AND t.parentSeq = ss.seq
+       |  WHERE t.chunkType = 'Column' AND ss.status = 'miss_delegated'),
+       |cfirst AS (SELECT sig, min(fileRank * 4294967296 + parentSeq) AS fk
+       |           FROM colsof WHERE size > 40 GROUP BY sig),
+       |cstat AS (
+       |  SELECT b.file, b.chunkType, b.size, b.parentSeq,
+       |    CASE WHEN b.fileRank * 4294967296 + b.parentSeq = f.fk THEN 'miss' ELSE 'hit' END AS status
+       |  FROM colsof b JOIN cfirst f USING (sig) WHERE b.size > 40),
+       |csmall AS (SELECT file, chunkType, size, parentSeq, 'small' AS status
+       |           FROM colsof WHERE size <= 40),
+       |foot AS (SELECT * FROM top WHERE chunkType = 'FileFooter'),
+       |ffirst AS (SELECT sig, min(fileRank * 4294967296 + seq) AS fk FROM foot GROUP BY sig),
+       |fstat AS (
+       |  SELECT t.file, t.chunkType, t.size, t.parentSeq,
+       |    CASE WHEN t.fileRank * 4294967296 + t.seq = f.fk THEN 'miss' ELSE 'hit' END AS status
+       |  FROM foot t JOIN ffirst f USING (sig)),
+       |rawc AS (
+       |  SELECT file, chunkType, size, parentSeq, 'raw' AS status FROM top
+       |  WHERE chunkType NOT IN ('StripeData','Column','FileFooter')
+       |    AND NOT (chunkType IN ('StripeIndex','StripeFooter') AND parentSeq <> -1)),
+       |status AS (
+       |  SELECT file, chunkType, size, parentSeq, status FROM sstat
+       |  UNION ALL SELECT * FROM linked
+       |  UNION ALL SELECT * FROM cstat
+       |  UNION ALL SELECT * FROM csmall
+       |  UNION ALL SELECT * FROM fstat
+       |  UNION ALL SELECT * FROM rawc),
+       |$statsRollupSql""".stripMargin
 }

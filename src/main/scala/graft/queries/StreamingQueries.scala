@@ -6,12 +6,17 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cawd.{CawdEngine, StreamingEngine}
+import graft.cawd.{CawdEngine, CawdExport, ChunkType, StreamingEngine}
 
 /** Streaming dedup exercised as a batch-checkable query: two file-arrival
   * waves (originals, then byte-identical copies) through the Structured
   * Streaming engine; the cross-batch chunk store must dedup wave 2 fully.
-  * Raw-file op → rows-only driver check; output is deterministic anyway.
+  *
+  * The engine exports its per-batch chunk-status table, and the DuckDB
+  * oracle re-derives every status independently: with a monotonically
+  * growing store, "hit" ⇔ "some chunk with the same signature arrived
+  * earlier in (batch, fileRank, seq) order" — so the cross-batch stateful
+  * semantics reduce to the same first-occurrence SQL as the batch engine.
   */
 object StreamingQueries {
 
@@ -32,19 +37,20 @@ object StreamingQueries {
       val store = new Path(root, "store").toString
       val stats = new Path(root, "stats").toString
       val ckpt = new Path(root, "ckpt").toString
+      val export = CawdExport.dir(d, "s01")
+      fs.delete(new Path(export), true) // per-batch appends; fresh per run
       val srcs = CawdEngine.listFiles(d, ".parquet").map(_._1)
       try {
         // wave 1: originals arrive
         copyInto(fs, conf, srcs, inDir, "")
         StreamingEngine.start(s, inDir.toString, store, stats, ".parquet",
-          CawdEngine.Parquet, ckpt).awaitTermination()
+          CawdEngine.Parquet, ckpt, Some(export)).awaitTermination()
         // wave 2: byte-identical copies arrive later
         copyInto(fs, conf, srcs, inDir, "zz_copy_")
         StreamingEngine.start(s, inDir.toString, store, stats, ".parquet",
-          CawdEngine.Parquet, ckpt).awaitTermination()
+          CawdEngine.Parquet, ckpt, Some(export)).awaitTermination()
 
         StreamingEngine.statsRollup(s, stats)
-          .withColumn("file", regexp_replace(col("file"), ".*/", ""))
           .orderBy("file", "metric")
           // materialize before the temp tree is deleted
           .localCheckpoint(true)
@@ -52,5 +58,10 @@ object StreamingQueries {
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    // batchId ≪ 2^22 files per batch ≪ 2^22, seq < 2^32 → composite key fits a BIGINT
+    "s01_streaming_dedup" -> CawdOracleSql.flatSql("s01",
+      ChunkType.parquetDedupable, 0L,
+      keyExpr = "(batchId * 4194304 + fileRank) * 4294967296 + seq")
+  )
 }
