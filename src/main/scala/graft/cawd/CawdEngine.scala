@@ -44,19 +44,60 @@ object CawdEngine {
     files.zipWithIndex.toSeq
   }
 
-  /** Chunk a set of (path, fileRank) files into a Dataset[FileChunk].
-    * Distributed flatMap: each task chunks whole files independently.
+  /** Target bytes of file content hashed per task. At 100 TB a 10 GB file
+    * becomes ~640 tasks instead of one straggler; at test scale most files
+    * stay single-bucket.
+    */
+  val SplitBytes: Long = 16L << 20
+
+  /** Chunk a set of (path, fileRank) files into a Dataset[FileChunk] in two
+    * distributed stages:
+    *
+    *   1. PLAN — metadata-only flatMap (footers + stripe footers/page
+    *      headers): emits the ordered chunk metas, each assigned to a byte-
+    *      range bucket of ~[[SplitBytes]] content;
+    *   2. HASH — metas shuffle by (file, bucket) — ~100 B rows, tiny — and
+    *      each group streams ONLY its byte range once through
+    *      [[RegionHash.hashChunks]].
+    *
+    * Parallelism therefore scales with total bytes, not file count (the
+    * reference processes one file at a time on one thread; a naive per-file
+    * flatMap would keep that straggler shape for large files).
     */
   def chunkFiles(spark: SparkSession, files: Seq[(String, Int)], fmt: Format,
                  orcMode: OrcChunker.Mode = OrcChunker.StripeColumn,
                  withContent: Boolean = false): Dataset[FileChunk] = {
     import spark.implicits._
     val n = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    spark.createDataset(files).repartition(n).flatMap { case (path, rank) =>
-      fmt match {
-        case Orc     => OrcChunker.chunk(path, rank, orcMode, withContent)
-        case Parquet => ParquetChunker.chunk(path, rank, withContent)
+    val planned: Dataset[(FileChunk, Int)] =
+      spark.createDataset(files).repartition(n).flatMap { case (path, rank) =>
+        val metas = fmt match {
+          case Orc     => OrcChunker.plan(path, rank, orcMode)
+          case Parquet => ParquetChunker.plan(path, rank)
+        }
+        assignBuckets(metas)
       }
+    planned
+      .groupByKey { case (c, bucket) => (c.file, bucket) }
+      .flatMapGroups { (key: (String, Int), it: Iterator[(FileChunk, Int)]) =>
+        val metas = it.map(_._1).toArray.sortBy(_.seq)
+        RegionHash.hashChunks(key._1, metas.toSeq, withContent).iterator
+      }
+  }
+
+  /** Bucket metas into ~[[SplitBytes]] byte ranges. Cuts only at top-level
+    * chunk boundaries (`parentSeq == -1`), so Column subchunks — which
+    * overlay their stripe's data region — always share their stripe's
+    * bucket and each bucket reads one contiguous range.
+    */
+  private[cawd] def assignBuckets(metas: Seq[FileChunk],
+                                  target: Long = SplitBytes): Seq[(FileChunk, Int)] = {
+    var bucket = 0
+    var acc = 0L
+    metas.map { m =>
+      if (m.parentSeq == -1 && acc >= target) { bucket += 1; acc = 0L }
+      if (m.parentSeq == -1) acc += m.size
+      (m, bucket)
     }
   }
 
@@ -114,28 +155,58 @@ object CawdEngine {
       .filter(c => c.parentSeq == -1 || c.chunkType == ChunkType.StripeIndex ||
         c.chunkType == ChunkType.StripeFooter)
       .filter(c => c.chunkType != ChunkType.Column)
-      .groupByKey(_.file)
-      .mapGroups { (file, it) =>
-        val md = java.security.MessageDigest.getInstance("SHA-1")
-        var reconBytes = 0L
-        it.toSeq.sortBy(_.seq).foreach { c =>
-          md.update(c.content); reconBytes += c.content.length
+      // Externally-sorted stream per file: Spark's shuffle sort orders rows
+      // on disk, and the digest consumes them one by one — at no point does
+      // a whole file's content sit in one task's heap.
+      .repartition(col("file"))
+      .sortWithinPartitions(col("file"), col("seq"))
+      .mapPartitions { rows =>
+        def finish(file: String, md: java.security.MessageDigest,
+                   reconBytes: Long): (String, Long, Long, Boolean) = {
+          val reconSha = md.digest().map("%02x".format(_)).mkString
+          val p = new Path(file)
+          val fs = p.getFileSystem(new Configuration())
+          val len = fs.getFileStatus(p).getLen
+          val buf = new Array[Byte](1 << 20)
+          val md2 = java.security.MessageDigest.getInstance("SHA-1")
+          val in = fs.open(p)
+          try {
+            var n = in.read(buf)
+            while (n > 0) { md2.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          val origSha = md2.digest().map("%02x".format(_)).mkString
+          (file, len, reconBytes, origSha == reconSha)
         }
-        val reconSha = md.digest().map("%02x".format(_)).mkString
-
-        val conf = new Configuration()
-        val p = new Path(file)
-        val fs = p.getFileSystem(conf)
-        val len = fs.getFileStatus(p).getLen
-        val buf = new Array[Byte](1 << 20)
-        val md2 = java.security.MessageDigest.getInstance("SHA-1")
-        val in = fs.open(p)
-        try {
-          var n = in.read(buf)
-          while (n > 0) { md2.update(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-        val origSha = md2.digest().map("%02x".format(_)).mkString
-        (file, len, reconBytes, origSha == reconSha)
+        new Iterator[(String, Long, Long, Boolean)] {
+          private var cur: String = _
+          private var md: java.security.MessageDigest = _
+          private var reconBytes = 0L
+          private var pending: Option[(String, Long, Long, Boolean)] = None
+          private def advance(): Unit = {
+            while (pending.isEmpty && rows.hasNext) {
+              val c = rows.next()
+              if (cur != null && c.file != cur) {
+                pending = Some(finish(cur, md, reconBytes))
+                cur = null
+              }
+              if (cur == null) {
+                cur = c.file
+                md = java.security.MessageDigest.getInstance("SHA-1")
+                reconBytes = 0L
+              }
+              md.update(c.content)
+              reconBytes += c.content.length
+            }
+            if (pending.isEmpty && cur != null) {
+              pending = Some(finish(cur, md, reconBytes))
+              cur = null
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): (String, Long, Long, Boolean) = {
+            advance(); val r = pending.get; pending = None; r
+          }
+        }
       }
       .toDF("file", "file_bytes", "recon_bytes", "identical")
   }

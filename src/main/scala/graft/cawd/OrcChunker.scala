@@ -60,7 +60,15 @@ object OrcChunker {
     * stripe's data region.
     */
   def chunk(pathStr: String, fileRank: Int, mode: Mode,
-            withContent: Boolean = true): Seq[FileChunk] = {
+            withContent: Boolean = true): Seq[FileChunk] =
+    RegionHash.hashChunks(pathStr, plan(pathStr, fileRank, mode), withContent)
+
+  /** Metadata-only pass: footer + stripe-footer reads, NO data bytes. The
+    * returned chunks carry offsets/sizes/lineage with empty signatures —
+    * [[RegionHash.hashChunks]] (or the distributed split-level stage in
+    * [[CawdEngine.chunkFiles]]) fills them in.
+    */
+  def plan(pathStr: String, fileRank: Int, mode: Mode): Seq[FileChunk] = {
     val conf = new Configuration()
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
@@ -153,25 +161,10 @@ object OrcChunker {
         .map(s => s.getOffset + s.getLength).getOrElse(firstStripeOffset)
       add(ChunkType.FileFooter, tailStart, fileLen - tailStart)
 
-      slice(pathStr, fs, path, fileLen.toInt, fileRank, metas.toSeq, withContent)
+      metas.toSeq.zipWithIndex.map { case ((t, start, size, colId, colType, parent), seq) =>
+        FileChunk(pathStr, fileRank, seq, t, start, size, colId, colType,
+          if (parent >= 0) parent else -1, Array.emptyByteArray, Array.emptyByteArray)
+      }
     } finally reader.close()
-  }
-
-  /** Read the file once, hash every chunk region, optionally keep bytes. */
-  private[cawd] def slice(pathStr: String, fs: org.apache.hadoop.fs.FileSystem,
-      path: Path, fileLen: Int, fileRank: Int,
-      metas: Seq[(String, Long, Long, Int, String, Int)],
-      withContent: Boolean): Seq[FileChunk] = {
-    val bytes = new Array[Byte](fileLen)
-    val in = fs.open(path)
-    try in.readFully(0, bytes) finally in.close()
-    metas.zipWithIndex.map { case ((t, start, size, colId, colType, parent), seq) =>
-      val sig = Sha1.of(bytes, start.toInt, size.toInt)
-      val content =
-        if (withContent) java.util.Arrays.copyOfRange(bytes, start.toInt, (start + size).toInt)
-        else Array.emptyByteArray
-      FileChunk(pathStr, fileRank, seq, t, start, size, colId, colType,
-        if (parent >= 0) parent else -1, sig, content)
-    }
   }
 }

@@ -13,13 +13,19 @@ import scala.jdk.CollectionConverters._
 
 /** Structural Parquet chunker — page-level chunks computed from PUBLIC
   * parquet-hadoop/parquet-format APIs (footer via `ParquetFileReader`, page
-  * boundaries via `Util.readPageHeader` over the raw column-chunk bytes).
+  * boundaries via `Util.readPageHeader` over bounded windows of the raw
+  * column-chunk bytes).
   *
   * The reference needed a forked parquet-mr to do this
   * (`parquet/dedup/NaiveParquetChunkingAlgorithm.java:39-129`, fork-only
   * symbols at `:109,:117`; README.md:5-23). We slice original file bytes
   * instead of re-serializing headers/footers, which is strictly safer for
   * byte-identity (SURVEY.md §7.4 hard part 1).
+  *
+  * Memory is bounded: the planning pass reads the footer plus one small
+  * window per page header (thrift-compact headers are self-delimiting);
+  * hashing streams through [[RegionHash]]. No whole-file buffer, no Int
+  * offsets — multi-GiB files are fine.
   *
   * Regions not claimed by header/page/footer chunks (column indexes, bloom
   * filters, padding) are emitted as `Regular` chunks so the chunk list is
@@ -28,14 +34,17 @@ import scala.jdk.CollectionConverters._
 object ParquetChunker {
 
   def chunk(pathStr: String, fileRank: Int,
-            withContent: Boolean = true): Seq[FileChunk] = {
+            withContent: Boolean = true): Seq[FileChunk] =
+    RegionHash.hashChunks(pathStr, plan(pathStr, fileRank), withContent)
+
+  /** Metadata-only pass: footer + per-page-header bounded reads. Returned
+    * chunks carry offsets/sizes with empty signatures.
+    */
+  def plan(pathStr: String, fileRank: Int): Seq[FileChunk] = {
     val conf = new Configuration()
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
-    val bytes = new Array[Byte](fileLen.toInt)
-    val in = fs.open(path)
-    try in.readFully(0, bytes) finally in.close()
 
     val footer = ParquetFileReader.readFooter(conf, path,
       ParquetMetadataConverter.NO_FILTER)
@@ -47,41 +56,61 @@ object ParquetChunker {
 
     add(ChunkType.Magic, 0L, 4L) // "PAR1"
 
-    footer.getBlocks.asScala.foreach { block =>
-      block.getColumns.asScala.zipWithIndex.foreach { case (cc, colId) =>
-        val colType = cc.getPrimitiveType.getPrimitiveTypeName.name
-        var pos = cc.getStartingPos
-        val end = cc.getStartingPos + cc.getTotalSize
-        while (pos < end) {
-          // Count the header's byte length by re-reading it from a bounded
-          // window: thrift-compact headers are self-delimiting.
-          val window = new ByteArrayInputStream(
-            bytes, pos.toInt, math.min(end - pos, 1 << 16).toInt)
-          val before = window.available()
-          val header = Util.readPageHeader(window)
-          val headerLen = before - window.available()
-          add(ChunkType.PageHeader, pos, headerLen, colId, colType)
-          val bodyType = header.getType match {
-            case PageType.DICTIONARY_PAGE => ChunkType.DictPage
-            case PageType.DATA_PAGE       => ChunkType.DataPageV1
-            case PageType.DATA_PAGE_V2    => ChunkType.DataPageV2
-            case PageType.INDEX_PAGE      => ChunkType.IndexPage
-            case _                        => ChunkType.Regular
+    val in = fs.open(path)
+    try {
+      // Parse one page header from a bounded window at `pos`; grow the
+      // window if the header happens to straddle it (headers are tens of
+      // bytes; 64 KiB succeeds in practice on the first try).
+      def readHeaderAt(pos: Long, end: Long): (org.apache.parquet.format.PageHeader, Int) = {
+        var window = 1 << 16
+        while (true) {
+          val len = math.min(window.toLong, end - pos).toInt
+          val buf = new Array[Byte](len)
+          in.readFully(pos, buf, 0, len)
+          val bis = new ByteArrayInputStream(buf)
+          val before = bis.available()
+          try {
+            val h = Util.readPageHeader(bis)
+            return (h, before - bis.available())
+          } catch {
+            case e: Exception if len < (end - pos) => window *= 4 // truncated window
           }
-          add(bodyType, pos + headerLen, header.getCompressed_page_size.toLong,
-            colId, colType)
-          pos += headerLen + header.getCompressed_page_size
+        }
+        throw new IllegalStateException("unreachable")
+      }
+
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.zipWithIndex.foreach { case (cc, colId) =>
+          val colType = cc.getPrimitiveType.getPrimitiveTypeName.name
+          var pos = cc.getStartingPos
+          val end = cc.getStartingPos + cc.getTotalSize
+          while (pos < end) {
+            val (header, headerLen) = readHeaderAt(pos, end)
+            add(ChunkType.PageHeader, pos, headerLen, colId, colType)
+            val bodyType = header.getType match {
+              case PageType.DICTIONARY_PAGE => ChunkType.DictPage
+              case PageType.DATA_PAGE       => ChunkType.DataPageV1
+              case PageType.DATA_PAGE_V2    => ChunkType.DataPageV2
+              case PageType.INDEX_PAGE      => ChunkType.IndexPage
+              case _                        => ChunkType.Regular
+            }
+            add(bodyType, pos + headerLen, header.getCompressed_page_size.toLong,
+              colId, colType)
+            pos += headerLen + header.getCompressed_page_size
+          }
         }
       }
-    }
 
-    // File tail: 4-byte footer length + "PAR1" magic; the serialized footer
-    // sits immediately before it.
-    val afterFooterStart = fileLen - 8
-    val footerLenLE = java.nio.ByteBuffer.wrap(bytes, afterFooterStart.toInt, 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-    add(ChunkType.ParquetFooter, afterFooterStart - footerLenLE, footerLenLE.toLong)
-    add(ChunkType.AfterFooter, afterFooterStart, 8L)
+      // File tail: 4-byte footer length + "PAR1" magic; the serialized footer
+      // sits immediately before it.
+      val afterFooterStart = fileLen - 8
+      val tail = new Array[Byte](4)
+      in.readFully(afterFooterStart, tail, 0, 4)
+      val footerLenLE = java.nio.ByteBuffer.wrap(tail)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      add(ChunkType.ParquetFooter, afterFooterStart - footerLenLE, footerLenLE.toLong)
+      add(ChunkType.AfterFooter, afterFooterStart, 8L)
+    } finally in.close()
 
     // Fill uncovered regions (column/offset indexes, padding) as Regular.
     val sorted = metas.sortBy(_._2)
@@ -95,11 +124,8 @@ object ParquetChunker {
     if (cursor < fileLen) full += ((ChunkType.Regular, cursor, fileLen - cursor, -1, ""))
 
     full.toSeq.zipWithIndex.map { case ((t, start, size, colId, colType), seq) =>
-      val sig = Sha1.of(bytes, start.toInt, size.toInt)
-      val content =
-        if (withContent) java.util.Arrays.copyOfRange(bytes, start.toInt, (start + size).toInt)
-        else Array.emptyByteArray
-      FileChunk(pathStr, fileRank, seq, t, start, size, colId, colType, -1, sig, content)
+      FileChunk(pathStr, fileRank, seq, t, start, size, colId, colType, -1,
+        Array.emptyByteArray, Array.emptyByteArray)
     }
   }
 }

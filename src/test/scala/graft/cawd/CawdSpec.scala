@@ -160,6 +160,35 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(copy.getOrElse("hit", 0L) > 0L)
   }
 
+  test("RegionHash streams >2 GiB files with Long offsets (no Int truncation)") {
+    // sparse file: only the probed regions have real bytes; holes read as
+    // zeros without occupying disk
+    val f = new java.io.File(dir, "huge.bin")
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    val twoGiB = 1L << 31
+    val fileLen = twoGiB + (64L << 20)
+    val pattern = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    try {
+      raf.setLength(fileLen)
+      raf.seek(twoGiB - 1000); raf.write(pattern) // straddles the 2^31 boundary
+      raf.seek(fileLen - 4096); raf.write(pattern)
+    } finally raf.close()
+    try {
+      def mk(seq: Int, start: Long, size: Long) =
+        FileChunk(f.getAbsolutePath, 0, seq, ChunkType.StripeData, start, size,
+          -1, "", -1, Array.emptyByteArray, Array.emptyByteArray)
+      val metas = Seq(
+        mk(0, twoGiB - 1000, 4096),        // crosses the Int boundary
+        mk(1, fileLen - 4096, 4096))       // starts past 2 GiB
+      val hashed = RegionHash.hashChunks(f.getAbsolutePath, metas, withContent = false)
+      val expected = Sha1.of(pattern)
+      hashed.foreach { c =>
+        assert(java.util.Arrays.equals(c.signature, expected),
+          s"chunk at ${c.start} hashed wrong bytes")
+      }
+    } finally f.delete()
+  }
+
   test("cascade accounting: columns of delegated stripes probe and tile their bytes") {
     import spark.implicits._
     val base = spark.createDataset(OrcChunker.chunk(orcPath, 0, OrcChunker.StripeColumn))
