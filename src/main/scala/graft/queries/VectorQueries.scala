@@ -30,6 +30,9 @@ object VectorQueries {
   val LshPlanes = 6        // 64 buckets
   val IvfCentroids = 8     // fixed: the vectors with vec_id < 8
   val IvfProbes = 2
+  val NdBands = 8          // e04 OR-construction: 8 bands ...
+  val NdPlanesPerBand = 4  // ... of 4 hyperplanes each (16 buckets/band)
+  val NdThreshold = 0.4
 
   /** Query subset: every 10th vector probes the index. */
   private val QueryFilter = "vec_id % 10 = 0"
@@ -63,12 +66,12 @@ object VectorQueries {
        |  FROM embeddings ${if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
                             else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"}),
        |planes AS (
-       |  SELECT p, i,
+       |  SELECT CAST(floor(k / 64.0) AS INT) AS p, (k % 64) + 1 AS i,
        |    ($strposFn('0123456789abcdef',
-       |       substr(md5(CAST(p AS STRING) || ':' || CAST(i AS STRING)), 1, 1)) - 1) - 7.5 AS w
-       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (LshPlanes - 1) + ")"
-                                  else s"range(0, $LshPlanes)"}) AS p) pp,
-       |       (SELECT $explode(${if (spark) "sequence(1, 64)" else "range(1, 65)"}) AS i) ii),
+       |       substr(md5(CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
+       |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
+       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (LshPlanes * 64 - 1) + ")"
+                                  else s"range(0, ${LshPlanes * 64})"}) AS k) kk),
        |signs AS (
        |  SELECT vec_id, p, CASE WHEN sum(x * w) > 0 THEN 1 ELSE 0 END AS b
        |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
@@ -79,6 +82,48 @@ object VectorQueries {
 
   private def registerEmbeddings(s: SparkSession, d: String): Unit =
     embeddings(s, d).createOrReplaceTempView("embeddings")
+
+  /** Banded sign-LSH for e04 (OR-construction, the d06 pattern in embedding
+    * space): [[NdBands]] independent band buckets of [[NdPlanesPerBand]]
+    * hyperplanes each; a pair is a candidate iff it shares ≥1 band bucket,
+    * then exact cosine verifies. Candidate generation is an equi-join on
+    * (band, bucket) — never all-pairs — so the plan is a plain shuffle hash
+    * join that scales with bucket occupancy. Recall is set by the banding
+    * parameters (more planes/band → finer buckets at larger corpora).
+    * Hyperplane weights reuse the md5 scheme, so both engines build
+    * byte-identical buckets.
+    */
+  private def bandedLshSql(spark: Boolean): String = {
+    val explode = if (spark) "explode" else "unnest"
+    val strposFn = if (spark) "instr" else "strpos"
+    val nPlanes = NdBands * NdPlanesPerBand
+    val shl = if (spark) "shiftleft(b, CAST(p % NDP AS INT))".replace("NDP", NdPlanesPerBand.toString)
+              else s"(b << (p % $NdPlanesPerBand))"
+    s"""flat AS (
+       |  SELECT vec_id, i, CAST(${if (spark) "element_at(embedding, CAST(i AS INT))"
+                                   else "embedding[i]"} AS DOUBLE) AS x
+       |  FROM embeddings ${if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
+                            else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"}),
+       |planes AS (
+       |  SELECT CAST(floor(k / 64.0) AS INT) AS p, (k % 64) + 1 AS i,
+       |    ($strposFn('0123456789abcdef',
+       |       substr(md5('nd:' || CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
+       |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
+       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (nPlanes * 64 - 1) + ")"
+                                  else s"range(0, ${nPlanes * 64})"}) AS k) kk),
+       |signs AS (
+       |  SELECT vec_id, p, CASE WHEN sum(x * w) > 0 THEN 1 ELSE 0 END AS b
+       |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
+       |bandbuckets AS (
+       |  SELECT vec_id, CAST(floor(p / $NdPlanesPerBand.0) AS INT) AS band,
+       |    CAST(sum($shl) AS BIGINT) AS bucket
+       |  FROM signs GROUP BY vec_id, CAST(floor(p / $NdPlanesPerBand.0) AS INT)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS ida, n.vec_id AS idb
+       |  FROM bandbuckets q JOIN bandbuckets n
+       |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id < n.vec_id)
+       |""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k: the correctness baseline. The query
@@ -146,18 +191,20 @@ object VectorQueries {
       topkOf(pairs)
     }),
 
-    // Near-duplicate vector pairs above a cosine threshold (embedding-space
-    // analogue of d05/d06; threshold tuned to the corpus's similarity range).
+    // Near-duplicate vector pairs: banded sign-LSH candidates + exact
+    // cosine verification (embedding-space analogue of d06's MinHash-LSH;
+    // threshold tuned to the corpus's similarity range). Candidates come
+    // from an equi-join on (band, bucket) — no all-pairs/NLJ anywhere.
     "e04_cosine_neardup_pairs" -> ((s, d) => {
-      val e = embeddings(s, d)
-      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
-        col("label").as("la"))
-      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-        col("label").as("lb"))
-      a.join(broadcast(b), col("ida") < col("idb"))
-        .select(col("ida"), col("idb"), col("la"), col("lb"),
-          round(cosine(col("va"), col("vb")), 6).as("cos"))
-        .filter(col("cos") >= 0.4)
+      registerEmbeddings(s, d)
+      s.sql(
+        s"""WITH ${bandedLshSql(spark = true)},
+           |scored AS (
+           |  SELECT ida, idb, ea.label AS la, eb.label AS lb,
+           |    round(cosine_sim(ea.embedding, eb.embedding), 6) AS cos
+           |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
+           |            JOIN embeddings eb ON cand.idb = eb.vec_id)
+           |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin)
     })
   )
 
@@ -218,9 +265,11 @@ object VectorQueries {
          |WHERE rank <= $TopK""".stripMargin,
 
     "e04_cosine_neardup_pairs" ->
-      s"""SELECT ea.vec_id AS ida, eb.vec_id AS idb,
-         |  ea.label AS la, eb.label AS lb, $CosSql AS cos
-         |FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
-         |WHERE $CosSql >= 0.4""".stripMargin
+      s"""WITH ${bandedLshSql(spark = false)},
+         |scored AS (
+         |  SELECT ida, idb, ea.label AS la, eb.label AS lb, $CosSql AS cos
+         |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
+         |            JOIN embeddings eb ON cand.idb = eb.vec_id)
+         |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin
   )
 }
