@@ -71,19 +71,48 @@ object CawdEngine {
     val n = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     val planned: Dataset[(FileChunk, Int)] =
       spark.createDataset(files).repartition(n).flatMap { case (path, rank) =>
+        val t0 = System.currentTimeMillis()
         val metas = fmt match {
           case Orc     => OrcChunker.plan(path, rank, orcMode)
           case Parquet => ParquetChunker.plan(path, rank)
         }
-        assignBuckets(metas)
+        val planMs = System.currentTimeMillis() - t0
+        // timing side-channel row (ParsingOverhead source); parentSeq == -2
+        // keeps it out of dedup, exports, and bucket math
+        assignBuckets(metas) :+
+          (FileChunk(path, rank, -1, ChunkType.PlanStat, 0, planMs, -1, "", -2,
+            Array.emptyByteArray, Array.emptyByteArray), 0)
       }
     planned
       .groupByKey { case (c, bucket) => (c.file, bucket) }
       .flatMapGroups { (key: (String, Int), it: Iterator[(FileChunk, Int)]) =>
-        val metas = it.map(_._1).toArray.sortBy(_.seq)
-        RegionHash.hashChunks(key._1, metas.toSeq, withContent).iterator
+        val (pseudo, real) = it.map(_._1).toArray.partition(_.parentSeq == -2)
+        val t0 = System.currentTimeMillis()
+        val hashed = RegionHash.hashChunks(key._1, real.sortBy(_.seq).toSeq, withContent)
+        val hashMs = System.currentTimeMillis() - t0
+        val rank = (pseudo ++ real).headOption.map(_.fileRank).getOrElse(0)
+        // per-bucket hash-stage duration (TransferTime source)
+        (hashed.iterator ++ pseudo.iterator) ++ Iterator.single(
+          FileChunk(key._1, rank, -1, ChunkType.HashStat, 0, hashMs, -1, "", -2,
+            Array.emptyByteArray, Array.emptyByteArray))
       }
   }
+
+  /** ParsingOverhead / TransferTime metric rows from the timing
+    * side-channel emitted by [[chunkFiles]] (`NaiveORCStreamer.java:117-121,
+    * 149-151`). TransferTime here is the cumulative hash-stage task time per
+    * file — the batch analogue of the reference's per-file transfer wall
+    * time. Excluded from oracle-checked outputs (timings are
+    * nondeterministic); surfaced by the library pipelines below.
+    */
+  def timingStats(chunks: Dataset[FileChunk]): DataFrame =
+    chunks.toDF().filter(col("parentSeq") === -2)
+      .groupBy(col("file"),
+        when(col("chunkType") === ChunkType.PlanStat, lit(Metric.ParsingOverhead))
+          .otherwise(lit(Metric.TransferTime)).as("metric"))
+      .agg(sum(col("size")).cast("double").as("value"))
+      .withColumn("unit", lit(Metric.Milliseconds))
+      .select("file", "metric", "value", "unit")
 
   /** Bucket metas into ~[[SplitBytes]] byte ranges. Cuts only at top-level
     * chunk boundaries (`parentSeq == -1`), so Column subchunks — which
@@ -127,18 +156,19 @@ object CawdEngine {
       })
     }
     val base = chunkFiles(spark, listFiles(dir, suffix), fmt, orcMode)
-    val chunks = if (duplicate) withDuplicates(base) else base
+    val chunks = (if (duplicate) withDuplicates(base) else base).cache()
     val status = Dedup.flatStatus(chunks.toDF(), dedupable, smallThreshold)
-    Stats.rollup(Stats.fromStatus(status))
+    Stats.rollup(Stats.fromStatus(status).unionByName(timingStats(chunks)))
   }
 
   /** Hierarchical s+p pipeline on ORC inputs (SURVEY.md §2.4 J5). */
   def hierarchicalDedupStats(spark: SparkSession, dir: String,
                              duplicate: Boolean = false): DataFrame = {
     val base = chunkFiles(spark, listFiles(dir, ".orc"), Orc, OrcChunker.StripeColumn)
-    val chunks = if (duplicate) withDuplicates(base) else base
+    val chunks = (if (duplicate) withDuplicates(base) else base).cache()
     val status = Dedup.hierarchicalStatus(chunks.toDF())
-    Stats.rollup(Stats.fromStatus(status))
+    Stats.rollup(Stats.fromStatus(status, emitSizes = true)
+      .unionByName(timingStats(chunks)))
   }
 
   /** S7: reconstruction check — ordered concatenation of top-level chunk

@@ -35,6 +35,7 @@ object CawdExport {
                   chunks: Dataset[FileChunk]): DataFrame = {
     val out = dir(sfDir, tag)
     chunks.toDF()
+      .filter(col("parentSeq") =!= -2) // timing side-channel rows are not data
       .select(
         regexp_replace(col("file"), ".*/", "").as("file"),
         col("fileRank"), col("seq"), col("chunkType"), col("start"),

@@ -124,17 +124,25 @@ object Dedup {
                          stripeStore: Option[DataFrame] = None,
                          columnStore: Option[DataFrame] = None,
                          footerStore: Option[DataFrame] = None): DataFrame = {
+    // every data row participates (Column subchunks AND linked index/footer
+    // chunks carry parentSeq != -1); only timing side-channel rows drop out
     val top = chunks
-      .filter(col("parentSeq") === -1 || col("chunkType") === ChunkType.Column)
+      .filter(col("parentSeq") =!= -2)
       .cache() // referenced by every cascade stage below
 
     // 1. whole-stripe probe. A missed stripe normally delegates its bytes to
     //    per-column probes ("miss_delegated"); a stripe whose stream layout
     //    could not be parsed into columns has none and is sent whole ("miss").
+    //    P4 single-column shortcut: a stripe with ≤1 parsed column also skips
+    //    column matching — the one column IS the stripe data, so probing it
+    //    after a stripe miss is pure overhead
+    //    (`orc/net/StripePlusColumnORCStreamer.java:146,202-209`).
     val stripes = top.filter(col("chunkType") === ChunkType.StripeData)
     val stripesWithCols = top.filter(col("chunkType") === ChunkType.Column)
-      .select(col("file").as("c_file"), col("parentSeq").as("c_parent"))
-      .distinct()
+      .groupBy(col("file").as("c_file"), col("parentSeq").as("c_parent"))
+      .agg(count(lit(1)).as("__n_cols"))
+      .filter(col("__n_cols") >= 2)
+      .drop("__n_cols")
     val stripeStatus = markFirstOccurrence(stripes, "seq", stripeStore)
       .join(stripesWithCols,
         col("file") === col("c_file") && col("seq") === col("c_parent"), "left")
@@ -148,14 +156,18 @@ object Dedup {
     val stripeOutcome = stripeStatus.select(
       col("file").as("s_file"), col("seq").as("s_seq"), col("status").as("s_status"))
 
-    // 2. linked index/footer chunks follow their stripe's outcome
+    // 2. linked index/footer chunks follow their stripe's outcome (J3): on a
+    //    stripe hit they dedup WITHOUT their own probe (the server resolves
+    //    subchunks from the stripe entry, `StripePlusColumnORCChunkStore
+    //    .java:25-31`) — status "hit_linked" counts dedup bytes but no
+    //    probe overhead or hit counter; on a miss they are sent raw.
     val linked = top
       .filter(col("chunkType").isin(ChunkType.StripeIndex, ChunkType.StripeFooter) &&
         col("parentSeq") =!= -1)
       .join(stripeOutcome,
         col("file") === col("s_file") && col("parentSeq") === col("s_seq"), "left")
       .withColumn("status",
-        when(col("s_status") === "hit", lit("hit")).otherwise(lit("raw")))
+        when(col("s_status") === "hit", lit("hit_linked")).otherwise(lit("raw")))
       .drop("s_file", "s_seq", "s_status")
 
     // 3. columns of MISSED stripes probe the column store; the store grows

@@ -52,6 +52,16 @@ object ChunkType {
   // Anything not structurally interesting (padding, column/offset indexes…)
   val Regular = "Regular"
 
+  /** Timing side-channel rows emitted by [[CawdEngine.chunkFiles]]
+    * (`parentSeq == -2`, size = elapsed ms): per-file plan-pass duration →
+    * `ParsingOverhead` and per-bucket hash-stage duration → `TransferTime`
+    * (ref `orc/net/NaiveORCStreamer.java:117-121,149-151`). Excluded from
+    * dedup, the chunk-table export, and every oracle-checked output —
+    * timings are inherently nondeterministic.
+    */
+  val PlanStat = "PlanStat"
+  val HashStat = "HashStat"
+
   /** Dedup-eligible chunk types per pipeline variant, mirroring the
     * reference's "special" vs "regular" dispatch (SURVEY.md §2.2 P2):
     * naive ORC dedups stripe data + file footer
@@ -78,7 +88,12 @@ object Sha1 {
   */
 case class StatValue(file: String, metric: String, value: Double, unit: String)
 
-/** The reference's 21 metric types + 3 units (TransferStats.java:86-114). */
+/** The reference's 21 metric types + 3 units (TransferStats.java:86-114).
+  * `DoubleColumnHit/DoubleColumnMiss/DoubleColumnMissBytes` are declared by
+  * the reference but never emitted anywhere (only the String typed-miss pair
+  * is, `orc/net/StripePlusColumnORCStreamer.java:180-184`) — kept here for
+  * vocabulary completeness, not emitted, matching the reference.
+  */
 object Metric {
   val FileBytes            = "FileBytes"
   val TransferBytes        = "TransferBytes"

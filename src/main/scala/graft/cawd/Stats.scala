@@ -55,9 +55,19 @@ object Stats {
     *   - DedupBytes         = content bytes saved by store hits
     *   - ExtraTransferBytes = protocol overhead: one `<type:int><sha1:20>`
     *     probe per special chunk (hit or miss) + per-file header
-    *   - *Hit / *Miss       = probe counters by chunk kind
+    *   - *Hit / *Miss       = probe counters by chunk kind; small column
+    *     bypasses count as `SmallColumn` (TransferStats.java:105)
+    *   - StringColumnMiss / StringColumnMissBytes = typed miss counters for
+    *     string columns (`StripePlusColumnORCStreamer.java:180-184`; the
+    *     Double* types are declared dead in the reference — not emitted)
+    *
+    * With `emitSizes` (the s+p pipeline; the reference only emits these
+    * there, `StripePlusColumnORCStreamer.java:37,88,370`):
+    *   - StripeSize = index+data+footer bytes, one row per stripe
+    *   - FooterSize = file-footer bytes, one row per file
+    *   - TotalBytes = whole file length, one row per file
     */
-  def fromStatus(statusDf: DataFrame): DataFrame = {
+  def fromStatus(statusDf: DataFrame, emitSizes: Boolean = false): DataFrame = {
     val probed = col("status").isin("hit", "miss", "miss_delegated")
     val sent = col("status").isin("raw", "small", "miss")
     val kind = when(col("chunkType") === ChunkType.StripeData, "Stripe")
@@ -70,7 +80,7 @@ object Stats {
     val topLevel = !(col("chunkType") === ChunkType.Column && col("parentSeq") =!= -1)
     val perFile = statusDf.groupBy(col("file")).agg(
       sum(when(sent, col("size")).otherwise(0L)).as("transfer"),
-      sum(when(col("status") === "hit", col("size")).otherwise(0L)).as("dedup"),
+      sum(when(col("status").isin("hit", "hit_linked"), col("size")).otherwise(0L)).as("dedup"),
       sum(when(probed, lit(Dedup.Wire.SigProbe)).otherwise(0L)).as("probeOverhead"),
       max(length(col("file")) + 12).as("headerOverhead"),
       sum(when(topLevel, col("size")).otherwise(0L)).as("fileBytes"))
@@ -78,22 +88,59 @@ object Stats {
     val counters = statusDf
       .filter(probed || col("status") === "small")
       .groupBy(col("file"),
-        concat(kind,
-          when(col("status") === "hit", lit("Hit"))
-            .when(col("status") === "small", lit("Small"))
-            .otherwise(lit("Miss"))).as("metric"))
+        when(col("status") === "small" && col("chunkType") === ChunkType.Column,
+          lit(Metric.SmallColumn))
+          .otherwise(concat(kind,
+            when(col("status") === "hit", lit("Hit"))
+              .when(col("status") === "small", lit("Small"))
+              .otherwise(lit("Miss")))).as("metric"))
       .agg(count(lit(1)).cast("double").as("value"))
       .withColumn("unit", lit(Metric.Count))
 
-    val byteRows = perFile.select(col("file"), explode(map(
+    val stringMisses = statusDf
+      .filter(col("chunkType") === ChunkType.Column &&
+        col("status") === "miss" && col("colType") === "string")
+      .groupBy(col("file"))
+      .agg(count(lit(1)).cast("double").as("nmiss"),
+        sum(col("size")).cast("double").as("bmiss"))
+    val typedRows = stringMisses
+      .select(col("file"), lit(Metric.StringColumnMiss).as("metric"),
+        col("nmiss").as("value"), lit(Metric.Count).as("unit"))
+      .unionByName(stringMisses
+        .select(col("file"), lit(Metric.StringColumnMissBytes).as("metric"),
+          col("bmiss").as("value"), lit(Metric.Bytes).as("unit")))
+
+    val byteMap = Seq(
       lit(Metric.FileBytes), col("fileBytes").cast("double"),
       lit(Metric.TransferBytes), col("transfer").cast("double"),
       lit(Metric.DedupBytes), col("dedup").cast("double"),
       lit(Metric.ExtraTransferBytes),
-      (col("probeOverhead") + col("headerOverhead")).cast("double")
-    )).as(Seq("metric", "value")))
+      (col("probeOverhead") + col("headerOverhead")).cast("double")) ++
+      (if (emitSizes) Seq(lit(Metric.TotalBytes), col("fileBytes").cast("double"))
+       else Seq.empty)
+    val byteRows = perFile.select(col("file"), explode(map(byteMap: _*))
+        .as(Seq("metric", "value")))
       .withColumn("unit", lit(Metric.Bytes))
 
-    byteRows.unionByName(counters.select("file", "metric", "value", "unit"))
+    val base = byteRows
+      .unionByName(counters.select("file", "metric", "value", "unit"))
+      .unionByName(typedRows)
+
+    if (!emitSizes) base else {
+      val stripeSizes = statusDf
+        .filter(col("chunkType").isin(ChunkType.StripeData, ChunkType.StripeIndex,
+            ChunkType.StripeFooter) &&
+          (col("chunkType") === ChunkType.StripeData || col("parentSeq") =!= -1))
+        .groupBy(col("file"),
+          when(col("chunkType") === ChunkType.StripeData, col("seq"))
+            .otherwise(col("parentSeq")).as("__stripe"))
+        .agg(sum(col("size")).cast("double").as("value"))
+        .select(col("file"), lit(Metric.StripeSize).as("metric"),
+          col("value"), lit(Metric.Bytes).as("unit"))
+      val footerSizes = statusDf.filter(col("chunkType") === ChunkType.FileFooter)
+        .select(col("file"), lit(Metric.FooterSize).as("metric"),
+          col("size").cast("double").as("value"), lit(Metric.Bytes).as("unit"))
+      base.unionByName(stripeSizes).unionByName(footerSizes)
+    }
   }
 }

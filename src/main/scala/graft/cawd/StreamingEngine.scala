@@ -109,7 +109,7 @@ object StreamingEngine {
       exportDir.foreach { dir =>
         status.select(col("file"), lit(batchId).as("batchId"),
           col("fileRank"), col("seq"), col("chunkType"), col("start"),
-          col("size"), col("parentSeq"),
+          col("size"), col("colId"), col("colType"), col("parentSeq"),
           lower(hex(col("signature"))).as("sig"),
           col("status").as("engine_status"))
           .write.mode("append").parquet(dir)

@@ -114,7 +114,7 @@ object CawdQueries {
         CawdEngine.Orc, OrcChunker.StripeColumn)
       val tbl = CawdExport.materialize(s, d, "c05", CawdEngine.withDuplicates(chunked))
       val status = Dedup.hierarchicalStatus(tbl)
-      Stats.rollup(Stats.fromStatus(status)).orderBy("file", "metric")
+      Stats.rollup(Stats.fromStatus(status, emitSizes = true)).orderBy("file", "metric")
     }),
 
     // S7: byte-identity reconstruction over both formats. Inherently
@@ -190,11 +190,26 @@ private[queries] object CawdOracleSql {
     * [[graft.cawd.Stats]] exactly (SigProbe = 4+20 = 24 B; Column overlay
     * rows excluded from FileBytes; `general` = all-files level).
     */
-  val statsRollupSql: String =
-    """perfile AS (
+  def statsRollupSql(withSizes: Boolean = false): String = {
+    val totalBytesRow = if (withSizes)
+      "\n      |  UNION ALL SELECT file, 'TotalBytes', 'Bytes', CAST(filebytes AS DOUBLE) FROM perfile"
+    else ""
+    val sizeRows = if (withSizes)
+      """
+        |  UNION ALL
+        |  SELECT file, 'StripeSize' AS metric, 'Bytes' AS unit, CAST(sum(size) AS DOUBLE) AS value
+        |  FROM (SELECT file, CASE WHEN chunkType = 'StripeData' THEN seq ELSE parentSeq END AS skey, size
+        |        FROM top WHERE chunkType IN ('StripeData','StripeIndex','StripeFooter')
+        |          AND (chunkType = 'StripeData' OR parentSeq <> -1)) sz
+        |  GROUP BY file, skey
+        |  UNION ALL
+        |  SELECT file, 'FooterSize', 'Bytes', CAST(size AS DOUBLE)
+        |  FROM top WHERE chunkType = 'FileFooter'"""
+    else ""
+    s"""perfile AS (
       |  SELECT file,
       |    sum(CASE WHEN status IN ('raw','small','miss') THEN size ELSE 0 END) AS transfer,
-      |    sum(CASE WHEN status = 'hit' THEN size ELSE 0 END) AS dedup,
+      |    sum(CASE WHEN status IN ('hit','hit_linked') THEN size ELSE 0 END) AS dedup,
       |    24 * sum(CASE WHEN status IN ('hit','miss','miss_delegated') THEN 1 ELSE 0 END) AS probe,
       |    max(length(file) + 12) AS header,
       |    sum(CASE WHEN NOT (chunkType = 'Column' AND parentSeq <> -1) THEN size ELSE 0 END) AS filebytes
@@ -203,20 +218,27 @@ private[queries] object CawdOracleSql {
       |  SELECT file, 'FileBytes' AS metric, 'Bytes' AS unit, CAST(filebytes AS DOUBLE) AS value FROM perfile
       |  UNION ALL SELECT file, 'TransferBytes', 'Bytes', CAST(transfer AS DOUBLE) FROM perfile
       |  UNION ALL SELECT file, 'DedupBytes', 'Bytes', CAST(dedup AS DOUBLE) FROM perfile
-      |  UNION ALL SELECT file, 'ExtraTransferBytes', 'Bytes', CAST(probe + header AS DOUBLE) FROM perfile),
+      |  UNION ALL SELECT file, 'ExtraTransferBytes', 'Bytes', CAST(probe + header AS DOUBLE) FROM perfile$totalBytesRow),
       |cnt AS (
       |  SELECT file,
-      |    concat(
+      |    CASE WHEN status = 'small' AND chunkType = 'Column' THEN 'SmallColumn'
+      |    ELSE concat(
       |      CASE WHEN chunkType = 'StripeData' THEN 'Stripe'
       |           WHEN chunkType = 'Column' THEN 'Column'
       |           WHEN chunkType = 'FileFooter' THEN 'Footer' ELSE 'Chunk' END,
       |      CASE WHEN status = 'hit' THEN 'Hit'
-      |           WHEN status = 'small' THEN 'Small' ELSE 'Miss' END) AS metric,
+      |           WHEN status = 'small' THEN 'Small' ELSE 'Miss' END) END AS metric,
       |    'Count' AS unit, CAST(count(*) AS DOUBLE) AS value
       |  FROM status
       |  WHERE status IN ('hit','miss','miss_delegated','small')
       |  GROUP BY 1, 2),
-      |allstats AS (SELECT * FROM bytes UNION ALL SELECT * FROM cnt)
+      |typed AS (
+      |  SELECT file, 'StringColumnMiss' AS metric, 'Count' AS unit, CAST(count(*) AS DOUBLE) AS value
+      |  FROM status WHERE chunkType = 'Column' AND status = 'miss' AND colType = 'string' GROUP BY file
+      |  UNION ALL
+      |  SELECT file, 'StringColumnMissBytes', 'Bytes', CAST(sum(size) AS DOUBLE)
+      |  FROM status WHERE chunkType = 'Column' AND status = 'miss' AND colType = 'string' GROUP BY file),
+      |allstats AS (SELECT * FROM bytes UNION ALL SELECT * FROM cnt UNION ALL SELECT * FROM typed$sizeRows)
       |SELECT file, metric, min(unit) AS unit, sum(value) AS value,
       |  count(*) AS ocurrences, min(value) AS min_v,
       |  round(quantile_cont(value, 0.25), 6) AS p25,
@@ -229,6 +251,7 @@ private[queries] object CawdOracleSql {
       |  round(quantile_cont(value, 0.25), 6), round(quantile_cont(value, 0.50), 6),
       |  round(quantile_cont(value, 0.75), 6), max(value)
       |FROM allstats GROUP BY metric""".stripMargin
+  }
 
   /** Flat first-occurrence dedup in SQL: miss = chunk whose arrival key
     * is the minimum for its signature among dedup-eligible chunks. The
@@ -243,15 +266,15 @@ private[queries] object CawdOracleSql {
        |special AS (SELECT * FROM top WHERE chunkType IN ($d) AND size > $threshold),
        |firsts AS (SELECT sig, min($keyExpr) AS fk FROM special GROUP BY sig),
        |probed AS (
-       |  SELECT file, chunkType, size, parentSeq,
+       |  SELECT file, chunkType, size, parentSeq, colType,
        |    CASE WHEN $keyExpr = f.fk THEN 'miss' ELSE 'hit' END AS status
        |  FROM special JOIN firsts f USING (sig)),
        |plain AS (
-       |  SELECT file, chunkType, size, parentSeq,
+       |  SELECT file, chunkType, size, parentSeq, colType,
        |    CASE WHEN chunkType IN ($d) THEN 'small' ELSE 'raw' END AS status
        |  FROM top WHERE NOT (chunkType IN ($d) AND size > $threshold)),
        |status AS (SELECT * FROM probed UNION ALL SELECT * FROM plain),
-       |$statsRollupSql""".stripMargin
+       |${statsRollupSql()}""".stripMargin
   }
 
   /** Hierarchical s+p cascade in SQL, mirroring [[graft.cawd.Dedup.hierarchicalStatus]]:
@@ -262,10 +285,11 @@ private[queries] object CawdOracleSql {
     */
   def hierarchicalSql(tag: String): String =
     s"""WITH c AS (SELECT * FROM read_parquet('${exportGlob(tag)}')),
-       |top AS (SELECT * FROM c WHERE parentSeq = -1 OR chunkType = 'Column'),
+       |top AS (SELECT * FROM c),
        |stripes AS (SELECT * FROM top WHERE chunkType = 'StripeData'),
-       |haskids AS (SELECT DISTINCT file AS c_file, parentSeq AS c_parent
-       |            FROM top WHERE chunkType = 'Column'),
+       |haskids AS (SELECT file AS c_file, parentSeq AS c_parent
+       |            FROM top WHERE chunkType = 'Column'
+       |            GROUP BY 1, 2 HAVING count(*) >= 2),
        |sfirst AS (SELECT sig, min(fileRank * 4294967296 + seq) AS fk FROM stripes GROUP BY sig),
        |sstat AS (
        |  SELECT s.*, CASE
@@ -275,8 +299,8 @@ private[queries] object CawdOracleSql {
        |  FROM stripes s JOIN sfirst f USING (sig)
        |  LEFT JOIN haskids h ON s.file = h.c_file AND s.seq = h.c_parent),
        |linked AS (
-       |  SELECT t.file, t.chunkType, t.size, t.parentSeq,
-       |    CASE WHEN ss.status = 'hit' THEN 'hit' ELSE 'raw' END AS status
+       |  SELECT t.file, t.chunkType, t.size, t.parentSeq, t.colType,
+       |    CASE WHEN ss.status = 'hit' THEN 'hit_linked' ELSE 'raw' END AS status
        |  FROM top t LEFT JOIN sstat ss ON t.file = ss.file AND t.parentSeq = ss.seq
        |  WHERE t.chunkType IN ('StripeIndex','StripeFooter') AND t.parentSeq <> -1),
        |colsof AS (
@@ -285,27 +309,27 @@ private[queries] object CawdOracleSql {
        |cfirst AS (SELECT sig, min(fileRank * 4294967296 + parentSeq) AS fk
        |           FROM colsof WHERE size > 40 GROUP BY sig),
        |cstat AS (
-       |  SELECT b.file, b.chunkType, b.size, b.parentSeq,
+       |  SELECT b.file, b.chunkType, b.size, b.parentSeq, b.colType,
        |    CASE WHEN b.fileRank * 4294967296 + b.parentSeq = f.fk THEN 'miss' ELSE 'hit' END AS status
        |  FROM colsof b JOIN cfirst f USING (sig) WHERE b.size > 40),
-       |csmall AS (SELECT file, chunkType, size, parentSeq, 'small' AS status
+       |csmall AS (SELECT file, chunkType, size, parentSeq, colType, 'small' AS status
        |           FROM colsof WHERE size <= 40),
        |foot AS (SELECT * FROM top WHERE chunkType = 'FileFooter'),
        |ffirst AS (SELECT sig, min(fileRank * 4294967296 + seq) AS fk FROM foot GROUP BY sig),
        |fstat AS (
-       |  SELECT t.file, t.chunkType, t.size, t.parentSeq,
+       |  SELECT t.file, t.chunkType, t.size, t.parentSeq, t.colType,
        |    CASE WHEN t.fileRank * 4294967296 + t.seq = f.fk THEN 'miss' ELSE 'hit' END AS status
        |  FROM foot t JOIN ffirst f USING (sig)),
        |rawc AS (
-       |  SELECT file, chunkType, size, parentSeq, 'raw' AS status FROM top
+       |  SELECT file, chunkType, size, parentSeq, colType, 'raw' AS status FROM top
        |  WHERE chunkType NOT IN ('StripeData','Column','FileFooter')
        |    AND NOT (chunkType IN ('StripeIndex','StripeFooter') AND parentSeq <> -1)),
        |status AS (
-       |  SELECT file, chunkType, size, parentSeq, status FROM sstat
+       |  SELECT file, chunkType, size, parentSeq, colType, status FROM sstat
        |  UNION ALL SELECT * FROM linked
        |  UNION ALL SELECT * FROM cstat
        |  UNION ALL SELECT * FROM csmall
        |  UNION ALL SELECT * FROM fstat
        |  UNION ALL SELECT * FROM rawc),
-       |$statsRollupSql""".stripMargin
+       |${statsRollupSql(withSizes = true)}""".stripMargin
 }

@@ -208,6 +208,46 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(colBytes == delegated, "column rows tile every delegated stripe's bytes")
   }
 
+  test("P4 single-column shortcut: stripes with <=1 parsed column never delegate") {
+    import spark.implicits._
+    val oneColDir = s"$dir/orc1col"
+    spark.range(0, 5000).select(col("id"))
+      .orderBy("id").coalesce(1).write.mode("overwrite").orc(oneColDir)
+    val p = firstPart(oneColDir, ".orc")
+    val chunks = OrcChunker.chunk(p, 0, OrcChunker.StripeColumn)
+    val status = Dedup.hierarchicalStatus(spark.createDataset(chunks).toDF())
+    val byStatus = status.groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(!byStatus.contains("miss_delegated"),
+      "single-column stripes must skip the column cascade")
+    assert(byStatus.getOrElse("miss", 0L) > 0, "stripes are sent whole on miss")
+    assert(status.filter(col("chunkType") === ChunkType.Column).count() == 0,
+      "no column probe rows for single-column stripes")
+  }
+
+  test("metric vocabulary matches the reference enum; s+p emits sizes, timings, typed misses") {
+    // TransferStats.java:86-108 minus the declared-but-never-emitted
+    // Double* types (only the String typed-miss pair is emitted there,
+    // StripePlusColumnORCStreamer.java:180-184)
+    val referenceEnum = Set(
+      "FileBytes", "TransferBytes", "TotalBytes", "TransferTime",
+      "ExtraTransferBytes", "DedupBytes", "ParsingOverhead",
+      "StripeHit", "StripeMiss", "ColumnHit", "DoubleColumnHit",
+      "DoubleColumnMiss", "DoubleColumnMissBytes", "StringColumnMiss",
+      "StringColumnMissBytes", "ColumnMiss", "FooterHit", "FooterMiss",
+      "SmallColumn", "StripeSize", "FooterSize")
+    import spark.implicits._
+    val out = CawdEngine.hierarchicalDedupStats(spark, s"$dir/orc", duplicate = true)
+    val metrics = out.select("metric").distinct().as[String].collect().toSet
+    assert(metrics.subsetOf(referenceEnum),
+      s"unknown metrics emitted: ${metrics.diff(referenceEnum)}")
+    val required = Set(Metric.StripeSize, Metric.FooterSize, Metric.TotalBytes,
+      Metric.ParsingOverhead, Metric.TransferTime, Metric.StripeHit,
+      Metric.FooterHit, Metric.DedupBytes, Metric.StringColumnMiss,
+      Metric.StringColumnMissBytes)
+    assert(required.subsetOf(metrics),
+      s"missing required metrics: ${required.diff(metrics)}")
+  }
+
   test("stats rollup: two levels, exact distinct percentiles (reference p50/p75 bug fixed)") {
     import spark.implicits._
     val stats = Seq(
