@@ -34,7 +34,33 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$trafficParity}""")
     spark.stop()
   }
+
+  /** Traffic-parity KPI vs the reference's ONE published number: s+p dedup
+    * transfers 69.26% of bytes on TPC-DS 10 GB ORC
+    * (`figures/tpcds-10g/dat/orc/s+p.dat:1`). From the c05 warm run
+    * (originals + byte-identical copies): % of file bytes actually
+    * transferred (content + protocol overhead), overall and for the warm
+    * copies alone (the copies number must be ≪ 100%).
+    */
+  private def trafficParity: String = try {
+    val spark = GraftSession.get("graft-bench")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rows = SparkEntry.queries("c05_orc_sp_cascade_warm")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("metric")
+        .isin("FileBytes", "TransferBytes", "ExtraTransferBytes"))
+      .select("file", "metric", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def pct(keep: String => Boolean): Double = {
+      val fb = rows.collect { case (f, "FileBytes", v) if keep(f) => v }.sum
+      val tx = rows.collect { case (f, m, v) if keep(f) && m != "FileBytes" => v }.sum
+      if (fb > 0) 100.0 * tx / fb else -1.0
+    }
+    val all = pct(f => f != "general")
+    val warm = pct(_.endsWith("+copy"))
+    f""","traffic_pct_sp":$all%.2f,"traffic_pct_sp_warm":$warm%.2f,"traffic_ref_pct_sp":69.26"""
+  } catch { case e: Throwable => System.err.println(s"[bench] traffic parity: $e"); "" }
 }
