@@ -171,6 +171,73 @@ object CawdEngine {
       .unionByName(timingStats(chunks)))
   }
 
+  /** S6: plain no-dedup baseline — fixed-size framing of the raw byte
+    * stream (`net/SpeedupStreamer.java:50-134`, bufferSize default 4096).
+    * A genuine content path: every frame's bytes are read and hashed (and
+    * optionally carried), unlike a metadata-only size computation.
+    */
+  def plainFrames(spark: SparkSession, files: Seq[(String, Int)],
+                  bufferSize: Int = 4096,
+                  withContent: Boolean = false): Dataset[FileChunk] = {
+    import spark.implicits._
+    val n = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(n).flatMap { case (path, rank) =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      val len = fs.getFileStatus(p).getLen
+      val metas = (0L until len by bufferSize.toLong).zipWithIndex.map {
+        case (off, i) =>
+          FileChunk(path, rank, i, ChunkType.Regular, off,
+            math.min(bufferSize.toLong, len - off), -1, "", -1,
+            Array.emptyByteArray, Array.emptyByteArray)
+      }
+      RegionHash.hashChunks(path, metas, withContent)
+    }
+  }
+
+  /** S7: reconstruction sink — materialize each file as `destDir/<name>` by
+    * ordered concatenation of resolved chunk contents
+    * (`net/SpeedupReceiver.java:87-161`). Rows stream through the same
+    * shuffle-sorted iterator as [[reconstructionCheck]] — no whole-file
+    * buffer on any task. Returns one row per file: (file, dest, bytes).
+    */
+  def reconstructTo(chunks: Dataset[FileChunk], destDir: String): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .filter(c => c.parentSeq == -1 || c.chunkType == ChunkType.StripeIndex ||
+        c.chunkType == ChunkType.StripeFooter)
+      .filter(c => c.chunkType != ChunkType.Column && c.parentSeq != -2)
+      .repartition(col("file"))
+      .sortWithinPartitions(col("file"), col("seq"))
+      .mapPartitions { rows =>
+        val conf = new Configuration()
+        val res = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cur: String = null
+        var dest: String = null
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var written = 0L
+        def finish(): Unit = if (cur != null) {
+          out.close(); res += ((cur, dest, written)); cur = null
+        }
+        rows.foreach { c =>
+          if (c.file != cur) {
+            finish()
+            cur = c.file
+            dest = s"$destDir/${new Path(c.file).getName}"
+            val dp = new Path(dest)
+            out = dp.getFileSystem(conf).create(dp, true)
+            written = 0L
+          }
+          out.write(c.content)
+          written += c.content.length
+        }
+        finish()
+        res.iterator
+      }
+      .toDF("file", "dest", "bytes")
+  }
+
   /** S7: reconstruction check — ordered concatenation of top-level chunk
     * contents must be byte-identical to the source file. Returns one row per
     * file: (file, file_bytes, recon_bytes, identical).

@@ -15,38 +15,48 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *   - file arrivals = a `binaryFile` file-source stream (path-only
   *     projection — Spark reads just enough metadata to enumerate files);
-  *   - the store = a persisted parquet table of `(signature, chunkType,
-  *     size)` appended once per micro-batch inside `foreachBatch` — the
-  *     durable analogue of the reference's in-heap HashMap, and the only
-  *     state that must survive restarts (exactly-once via the streaming
-  *     checkpoint + idempotent signature-keyed appends);
+  *   - the store = a parquet table PARTITIONED BY BATCH (`batch=N`
+  *     subdirectories): each micro-batch OVERWRITES exactly its own
+  *     partition with its first-occurrence chunks, and probes only the
+  *     partitions of earlier batches. A retried batch therefore recomputes
+  *     from the same store state and rewrites the same partition —
+  *     exactly-once semantics without a transaction log, and the
+  *     distinct-signature invariant survives partial failures;
   *   - per-batch dedup = the same first-occurrence aggregation as batch
-  *     mode, with the store as the warm set — so batch and streaming share
-  *     ONE dedup implementation ([[Dedup.flatStatus]]);
+  *     mode, with the earlier-batch store as the warm set — batch and
+  *     streaming share ONE dedup implementation ([[Dedup.flatStatus]]);
   *   - ordering: in-order processing per the reference is preserved at
   *     micro-batch granularity (files within a batch are ranked by path,
   *     batches by arrival). No watermark — there is no event time.
   *
-  * At scale the store table should be bucketed by signature so the per-batch
-  * anti-join is a co-partitioned shuffle-free probe; eviction/TTL (absent in
-  * the reference) hangs off the same table as a retention delete.
+  * At scale the store partitions should additionally be bucketed by
+  * signature so the per-batch anti-join is a co-partitioned probe;
+  * eviction/TTL (absent in the reference) is a retention delete of old
+  * batch partitions.
   */
 object StreamingEngine {
 
   /** Chunk-store schema columns persisted across batches. */
   private val StoreCols = Seq("signature", "chunkType", "size")
 
-  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+  /** Store contents visible to `beforeBatch` (exclusive): the union of all
+    * earlier batches' partitions. `None` reads everything (external
+    * consumers).
+    */
+  def readStore(spark: SparkSession, storeDir: String,
+                beforeBatch: Option[Long] = None): Option[DataFrame] = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(new Configuration())
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(storeDir))
-    else None
+    if (!fs.exists(p) || !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
+      return None
+    val all = spark.read.option("basePath", storeDir).parquet(storeDir)
+    Some(beforeBatch.fold(all)(b => all.filter(col("batch") < b)))
   }
 
   /** Start the streaming dedup: watch `inDir` for new `suffix` files, fold
-    * each micro-batch through the chunk store at `storeDir`, append per-file
-    * metric rows to `statsDir`.
+    * each micro-batch through the chunk store at `storeDir`, write per-file
+    * metric rows under `statsDir`, and (optionally) the per-batch
+    * chunk-status table for the external oracle under `exportDir`.
     */
   def start(spark: SparkSession, inDir: String, storeDir: String,
             statsDir: String, suffix: String, fmt: CawdEngine.Format,
@@ -71,8 +81,10 @@ object StreamingEngine {
   }
 
   /** One micro-batch: rank new files after everything already seen, chunk,
-    * probe the persisted store, append misses to the store and metric rows
-    * to the stats sink.
+    * probe the earlier-batch store, overwrite this batch's store/stats
+    * (/export) partitions. Idempotent under retries: the probe set never
+    * includes this batch's own partition, so a re-run recomputes identical
+    * statuses and rewrites identical partitions.
     */
   private[cawd] def processBatch(spark: SparkSession, batch: DataFrame,
                                  batchId: Long, storeDir: String,
@@ -93,17 +105,17 @@ object StreamingEngine {
     // stats/export see basenames so downstream output (and the DuckDB
     // oracle re-deriving it) doesn't depend on temp-dir paths
     val status = Dedup.flatStatus(chunks.toDF(), dedupable,
-      store = readStore(spark, storeDir))
+      store = readStore(spark, storeDir, beforeBatch = Some(batchId)))
       .withColumn("file", regexp_replace(col("file"), ".*/", ""))
       .cache()
     try {
-      // insert-on-miss: append this batch's first-occurrence chunks
+      // insert-on-miss: this batch's first occurrences, keyed to its own
+      // partition (overwrite = retry-safe)
       status.filter(col("status") === "miss")
         .select(StoreCols.map(col): _*)
-        .write.mode("append").parquet(storeDir)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
       Stats.fromStatus(status)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(statsDir)
+        .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
       // chunk-status table for the external oracle: cross-batch dedup is
       // re-derivable as first-occurrence by (batchId, fileRank, seq)
       exportDir.foreach { dir =>
@@ -112,7 +124,7 @@ object StreamingEngine {
           col("size"), col("colId"), col("colType"), col("parentSeq"),
           lower(hex(col("signature"))).as("sig"),
           col("status").as("engine_status"))
-          .write.mode("append").parquet(dir)
+          .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
       }
     } finally status.unpersist()
   }
@@ -121,5 +133,6 @@ object StreamingEngine {
     * rollup, same shape as the batch engine's output).
     */
   def statsRollup(spark: SparkSession, statsDir: String): DataFrame =
-    Stats.rollup(spark.read.parquet(statsDir).drop("batch_id"))
+    Stats.rollup(spark.read.option("basePath", statsDir).parquet(statsDir)
+      .drop("batch_id"))
 }

@@ -131,24 +131,25 @@ object CawdQueries {
         .orderBy("file")
     }),
 
-    // S6: plain no-dedup baseline — fixed 4096 B frames, no chunk smarts
-    // (`net/SpeedupStreamer.java:50-134`). The (file, bytes) listing is
-    // materialized so the oracle re-derives the frame math independently.
+    // S6: plain no-dedup baseline — REAL fixed-4096 B framing of the byte
+    // stream (`net/SpeedupStreamer.java:50-134`): Spark aggregates the
+    // actual frame table, while the oracle re-derives the same numbers
+    // from the materialized (file, bytes) listing via ceil math — they
+    // agree iff the framing is correct.
     "c07_plain_baseline" -> ((s, d) => {
       import s.implicits._
-      val files = CawdEngine.listFiles(d, ".parquet").map(_._1)
-      val sizes = files.map { f =>
+      val files = CawdEngine.listFiles(d, ".parquet")
+      val sizes = files.map { case (f, _) =>
         val p = new Path(f)
         val fs = p.getFileSystem(new Configuration())
         (p.getName, fs.getFileStatus(p).getLen)
       }
       CawdExport.materializeDf(s, d, "c07",
-          s.createDataset(sizes).toDF("file", "bytes"))
-        .select(
-          col("file"),
-          col("bytes").as("transfer_bytes"),
-          ceil(col("bytes") / 4096.0).cast("long").as("frames"),
-          (length(col("file")) + 12).cast("long").as("extra_bytes"))
+        s.createDataset(sizes).toDF("file", "bytes"))
+      CawdEngine.plainFrames(s, files).toDF()
+        .groupBy(base(col("file")).as("file"))
+        .agg(sum(col("size")).as("transfer_bytes"), count(lit(1)).as("frames"))
+        .withColumn("extra_bytes", (length(col("file")) + 12).cast("long"))
         .orderBy("file")
     })
   )
@@ -259,9 +260,10 @@ private[queries] object CawdOracleSql {
     * micro-batch id so cross-batch store growth is captured.
     */
   def flatSql(tag: String, dedupable: Set[String], threshold: Long,
-              keyExpr: String = "fileRank * 4294967296 + seq"): String = {
+              keyExpr: String = "fileRank * 4294967296 + seq",
+              glob: Option[String] = None): String = {
     val d = dedupable.toSeq.sorted.map(t => s"'$t'").mkString(", ")
-    s"""WITH c AS (SELECT * FROM read_parquet('${exportGlob(tag)}')),
+    s"""WITH c AS (SELECT * FROM read_parquet('${glob.getOrElse(exportGlob(tag))}')),
        |top AS (SELECT * FROM c WHERE parentSeq = -1),
        |special AS (SELECT * FROM top WHERE chunkType IN ($d) AND size > $threshold),
        |firsts AS (SELECT sig, min($keyExpr) AS fk FROM special GROUP BY sig),

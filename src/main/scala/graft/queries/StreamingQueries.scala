@@ -62,6 +62,7 @@ object StreamingQueries {
     // batchId ≪ 2^22 files per batch ≪ 2^22, seq < 2^32 → composite key fits a BIGINT
     "s01_streaming_dedup" -> CawdOracleSql.flatSql("s01",
       ChunkType.parquetDedupable, 0L,
-      keyExpr = "(batchId * 4194304 + fileRank) * 4294967296 + seq")
+      keyExpr = "(batchId * 4194304 + fileRank) * 4294967296 + seq",
+      glob = Some(s"${CawdExport.Root}/sf0.01/s01/batch=*/*.parquet"))
   )
 }

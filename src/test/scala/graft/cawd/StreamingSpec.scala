@@ -49,6 +49,23 @@ class StreamingSpec extends AnyFunSuite {
     // store holds each signature once
     val storeDf = spark.read.parquet(store)
     assert(storeDf.count() == storeDf.select("signature").distinct().count())
+
+    // retry idempotency: replaying the LAST batch (as after a partial
+    // failure) must leave store contents and stats byte-for-byte unchanged
+    val lastBatch = spark.read.parquet(stats)
+      .agg(max(col("batch_id"))).head().getInt(0).toLong
+    def storeSnapshot() = spark.read.parquet(store)
+      .select(hex(col("signature")), col("chunkType"), col("size"), col("batch"))
+      .collect().map(_.toString).sorted
+    val statsBefore = spark.read.parquet(stats).collect().map(_.toString).sorted
+    val storeBefore = storeSnapshot()
+    import spark.implicits._
+    val replay = Seq(s"file:$inDir/b.parquet").toDF("path")
+    StreamingEngine.processBatch(spark, replay, lastBatch, store, stats,
+      CawdEngine.Parquet)
+    assert(spark.read.parquet(stats).collect().map(_.toString).sorted
+      .sameElements(statsBefore), "stats double-counted on batch retry")
+    assert(storeSnapshot().sameElements(storeBefore), "store changed on batch retry")
     spark.stop()
   }
 }

@@ -39,13 +39,19 @@ class CosineSimilaritySpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(viaSql) < 1e-12)
 
-    // null / mismatched-length handling
+    // null / mismatched-length / zero-norm handling → null, never NaN
     val edge = Seq(
       (Some(Array(1.0f)), None: Option[Array[Float]]),
       (Some(Array(1.0f, 2.0f)), Some(Array(1.0f))),
-      (Some(Array.empty[Float]), Some(Array.empty[Float]))
+      (Some(Array.empty[Float]), Some(Array.empty[Float])),
+      (Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 2.0f)))
     ).toDF("a", "b")
     val vals = edge.select(CosineSimilarity(col("a"), col("b"))).collect()
     assert(vals.forall(_.isNullAt(0)))
+
+    // wrong arity from SQL → analysis error, not IndexOutOfBounds
+    val err = intercept[Exception](spark.sql("SELECT cosine_sim(a) FROM v"))
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+    assert(!err.isInstanceOf[IndexOutOfBoundsException])
   }
 }
