@@ -24,7 +24,12 @@ object Bench {
       // would let Catalyst prune the projections being measured)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each query caches what IT reuses across its own plan branches;
+      // dropping those blocks afterwards keeps measurements independent
+      // (36 queries' cached binaries otherwise pile up into GC churn)
+      spark.catalog.clearCache()
+      dt
     }
 
     names.foreach { case (n, fn) => runOne(n, fn) } // warm-up (untimed)
