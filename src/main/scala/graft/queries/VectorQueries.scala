@@ -28,8 +28,8 @@ object VectorQueries {
 
   val TopK = 5
   val LshPlanes = 6        // 64 buckets
-  val IvfCentroids = 8     // fixed: the vectors with vec_id < 8
   val IvfProbes = 2
+  val IvfIterations = 2    // k-medians refinement rounds
   val NdBands = 8          // e04 OR-construction: 8 bands ...
   val NdPlanesPerBand = 4  // ... of 4 hyperplanes each (16 buckets/band)
   val NdThreshold = 0.4
@@ -82,6 +82,65 @@ object VectorQueries {
 
   private def registerEmbeddings(s: SparkSession, d: String): Unit =
     embeddings(s, d).createOrReplaceTempView("embeddings")
+
+  /** Trained-IVF search SQL, identical semantics in both engines:
+    * C = ceil(sqrt(N)) cells seeded by `vec_id % C`, [[IvfIterations]]
+    * rounds of k-medians (exact per-dimension medians round-tripped through
+    * `round(..., 6)` — medians sort, so they are order-independent and
+    * bit-identical across engines, which sample means are not), cosine
+    * reassignment each round, then [[IvfProbes]]-cell probing and exact
+    * rerank. Every join is an equi-join on `i` (dimension) or `cell`.
+    */
+  private def ivfSql(spark: Boolean): String = {
+    val explode = if (spark) "explode" else "unnest"
+    val medianFn = if (spark) "percentile(x, 0.5)" else "median(x)"
+    val elem = if (spark) "element_at(embedding, CAST(i AS INT))" else "embedding[i]"
+    val lat = if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
+              else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"
+    val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
+                else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+    val iters = (1 to IvfIterations).map { it =>
+      s"""c$it AS (
+         |  SELECT cell, i, round($medianFn, 6) AS cx
+         |  FROM flat JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
+         |s$it AS (
+         |  SELECT f.vec_id, c.cell,
+         |    round(sum(f.x * c.cx) / (n.nrm * sqrt(sum(c.cx * c.cx))), 6) AS cos
+         |  FROM flat f JOIN c$it c ON f.i = c.i JOIN norms n ON f.vec_id = n.vec_id
+         |  GROUP BY f.vec_id, c.cell, n.nrm),
+         |a$it AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+         |    FROM s$it) t WHERE r = 1),""".stripMargin
+    }.mkString("\n")
+    val last = IvfIterations
+    s"""WITH params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings),
+       |flat AS (
+       |  SELECT vec_id, i, CAST($elem AS DOUBLE) AS x
+       |  FROM embeddings $lat),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+       |a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
+       |       FROM embeddings),
+       |$iters
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+       |    FROM s$last WHERE vec_id % 10 = 0) t WHERE r <= $IvfProbes),
+       |pairs AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN a$last a USING (cell) WHERE p.q_id <> a.vec_id),
+       |scored AS (
+       |  SELECT q_id, n_id, round($cosFn, 6) AS cos
+       |  FROM pairs JOIN embeddings ea ON pairs.q_id = ea.vec_id
+       |             JOIN embeddings eb ON pairs.n_id = eb.vec_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $TopK""".stripMargin
+  }
 
   /** Banded sign-LSH for e04 (OR-construction, the d06 pattern in embedding
     * space): [[NdBands]] independent band buckets of [[NdPlanesPerBand]]
@@ -163,32 +222,15 @@ object VectorQueries {
            |WHERE rank <= $TopK""".stripMargin)
     }),
 
-    // IVF-style search: fixed centroids (vec_id < C), nearest-cell
-    // assignment, queries probe the nprobe closest cells only.
+    // IVF with a TRAINED index: ceil(sqrt(N)) cells, 2 rounds of k-medians
+    // (per-dimension exact medians — order-independent and bit-identical
+    // across engines, unlike means), then queries probe the nprobe nearest
+    // cells and exact-rerank. Training here runs on the full corpus; at
+    // 100 TB the standard move is to train on a sample — assignment stays
+    // the same C·N·d join either way.
     "e03_ivf_topk" -> ((s, d) => {
-      val e = embeddings(s, d)
-      val cent = e.filter(col("vec_id") < IvfCentroids)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      // nearest-centroid cell per vector (rounded cosine, centroid-id ties)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("c_id").asc)
-      val cells = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          round(cosine(col("embedding"), col("cv")), 6).as("ccos"))
-        .withColumn("crank", row_number().over(wAssign))
-        .cache() // feeds both the assignment and the probe sides
-      val assigned = cells.filter(col("crank") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-      // each query probes its nprobe nearest cells
-      val probes = cells.filter(expr(QueryFilter) && col("crank") <= IvfProbes)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("c_id").as("cell"))
-      val pairs = probes.join(assigned, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          round(cosine(col("qv"), col("embedding")), 6).as("cos"))
-        .distinct() // a neighbor can appear via multiple probed cells
-      topkOf(pairs)
+      registerEmbeddings(s, d)
+      s.sql(ivfSql(spark = true))
     }),
 
     // Near-duplicate vector pairs: banded sign-LSH candidates + exact
@@ -238,31 +280,7 @@ object VectorQueries {
          |  FROM scored) r
          |WHERE rank <= $TopK""".stripMargin,
 
-    "e03_ivf_topk" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-         |  WHERE vec_id < $IvfCentroids),
-         |cells AS (
-         |  SELECT e.vec_id, e.embedding, c.c_id,
-         |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) AS ccos,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-         |               c.c_id ASC) AS crank
-         |  FROM embeddings e CROSS JOIN cent c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c_id AS cell FROM cells WHERE crank = 1),
-         |probes AS (
-         |  SELECT vec_id AS q_id, embedding AS qv, c_id AS cell FROM cells
-         |  WHERE vec_id % 10 = 0 AND crank <= $IvfProbes),
-         |pairs AS (
-         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id,
-         |    round(list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos
-         |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id != a.vec_id)
-         |SELECT q_id, rank, n_id, cos FROM (
-         |  SELECT q_id, n_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
-         |  FROM pairs) r
-         |WHERE rank <= $TopK""".stripMargin,
+    "e03_ivf_topk" -> ivfSql(spark = false),
 
     "e04_cosine_neardup_pairs" ->
       s"""WITH ${bandedLshSql(spark = false)},
