@@ -267,6 +267,53 @@ object TextQueries {
            |""".stripMargin)
     }),
 
+    // Near-dup cluster canonicalization: connected components over the
+    // verified MinHash pair graph, each doc mapped to its component's min
+    // doc_id (the "keep one per near-dup cluster" op a training pipeline
+    // ends with). Min-label propagation iterated to FIXPOINT — exact
+    // components, matching the oracle's recursive closure. Near-dup
+    // clusters are small by construction, so iterations ≈ cluster
+    // diameter; at web scale swap in alternating large-star/small-star,
+    // same per-iteration plan shape (join + min-aggregate).
+    "d10_neardup_clusters" -> ((s, d) => {
+      val df = documents(s, d)
+      val bands = minhashBands(df)
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
+      val pairs = jaccardOf(df, Some(cands))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("ida", "idb")
+      val edges = pairs
+        .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+        .toDF("src", "dst").cache()
+      var labels = df.select(col("doc_id"), col("doc_id").as("label")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val next = labels.as("l")
+          .join(edges, col("l.doc_id") === col("src"), "left")
+          .join(labels.select(col("doc_id").as("dst_id"), col("label").as("nl")),
+            col("dst") === col("dst_id"), "left")
+          .groupBy(col("l.doc_id").as("doc_id"))
+          .agg(least(min(col("l.label")), coalesce(min(col("nl")),
+            min(col("l.label")))).as("label"))
+          .cache()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels.unpersist()
+        labels = next
+      }
+      labels
+        .groupBy(col("label").as("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sort_array(collect_list(col("doc_id"))).as("m"))
+        .select(col("canonical_id"), col("cluster_size"),
+          expr("concat_ws(',', transform(m, x -> CAST(x AS STRING)))").as("members"))
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
@@ -359,6 +406,35 @@ object TextQueries {
          |FROM pairs JOIN sizes sa ON pairs.ida = sa.doc_id
          |           JOIN sizes sb ON pairs.idb = sb.doc_id
          |WHERE common * 1.0 / (sa.n + sb.n - common) >= $JaccardThreshold""".stripMargin,
+
+    "d10_neardup_clusters" ->
+      s"""${ShingleSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |mh AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mv
+         |       FROM sh, UNNEST(range(0, $MinHashK)) AS t(k) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, k // $MinHashR AS band,
+         |                 string_agg(mv, '|' ORDER BY k) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM bands a JOIN bands b ON a.band = b.band
+         |           AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN cand ON cand.ida = a.doc_id AND cand.idb = b.doc_id
+         |          GROUP BY 1, 2),
+         |vpairs AS (SELECT ida, idb FROM pairs
+         |           JOIN sizes sa ON pairs.ida = sa.doc_id
+         |           JOIN sizes sb ON pairs.idb = sb.doc_id
+         |           WHERE common * 1.0 / (sa.n + sb.n - common) >= $JaccardThreshold),
+         |edges AS (SELECT ida AS src, idb AS dst FROM vpairs
+         |          UNION ALL SELECT idb, ida FROM vpairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |labels AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a)
+         |SELECT canonical_id, count(*) AS cluster_size,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+         |FROM labels GROUP BY canonical_id""".stripMargin,
 
     "d07_simhash" -> simhashSql(spark = false),
 
