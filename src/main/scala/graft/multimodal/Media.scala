@@ -84,6 +84,36 @@ object Media {
     }
   }
 
+  /** One sampled video frame (what a real frame extractor would emit). */
+  case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,     // 1-based index into the decoded frame sequence
+      ts_ms: Int,         // presentation timestamp (fake 25 fps)
+      phash: String,      // 64-bit perceptual-hash stand-in (md5 prefix)
+      is_keyframe: Boolean)
+
+  /** Frame sampling: every `stride`-th frame of each video becomes one
+    * image-like training row. Same per-partition batch shape as
+    * [[extractFeatures]] (a real impl holds one ffmpeg context per
+    * partition and seeks); per-frame values are md5-derived so the whole
+    * sampling pipeline stays externally checkable.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open demuxer/decoder context here, close at iterator end
+      rows.filter(_.modality == "video").flatMap { r =>
+        val h = FakeCodec.md5Hex(r.content)
+        val nFrames = 1 + Character.digit(h.charAt(2), 16)
+        (1 to nFrames by stride).iterator.map { i =>
+          val fh = FakeCodec.md5Hex(s"$h:$i".getBytes("UTF-8"))
+          FrameRow(r.media_id, i, (i - 1) * 40, fh.substring(0, 16),
+            Character.digit(fh.charAt(16), 16) < 4)
+        }
+      }
+    }
+  }
+
   /** Deterministic "resize": recompute features at a target size — shape
     * stands in for a real thumbnail kernel; output schema is the contract.
     */

@@ -31,6 +31,11 @@ object MediaQueries {
       Media.resize(
         Media.extractFeatures(Media.mediaTable(s, documents(s, d))), 128)),
 
+    // Frame sampling: every 2nd frame of each video → an image-like
+    // training row (timestamp, perceptual-hash stand-in, keyframe flag).
+    "m04_frame_sample" -> ((s, d) =>
+      Media.sampleFrames(Media.mediaTable(s, documents(s, d)), stride = 2).toDF()),
+
     // Downstream rollup: modality-level corpus statistics.
     "m03_modality_rollup" -> ((s, d) => {
       features(s, d).groupBy(col("modality")).agg(
@@ -77,6 +82,20 @@ object MediaQueries {
          |SELECT modality, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          |  round(avg(width), 6) AS avg_width, round(avg(height), 6) AS avg_height,
          |  CAST(sum(n_frames) AS BIGINT) AS total_frames
-         |FROM feat GROUP BY modality""".stripMargin
+         |FROM feat GROUP BY modality""".stripMargin,
+
+    "m04_frame_sample" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, md5(text) AS h,
+        |    1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |frames AS (
+        |  SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |    CAST((i - 1) * 40 AS INT) AS ts_ms,
+        |    md5(h || ':' || CAST(i AS VARCHAR)) AS fh
+        |  FROM vids, UNNEST(range(1, n_frames + 1, 2)) AS t(i))
+        |SELECT media_id, frame_idx, ts_ms, substr(fh, 1, 16) AS phash,
+        |  (strpos('0123456789abcdef', substr(fh, 17, 1)) - 1) < 4 AS is_keyframe
+        |FROM frames""".stripMargin
   )
 }
