@@ -205,9 +205,11 @@ object CawdEngine {
     val spark = chunks.sparkSession
     import spark.implicits._
     chunks
-      .filter(c => c.parentSeq == -1 || c.chunkType == ChunkType.StripeIndex ||
-        c.chunkType == ChunkType.StripeFooter)
-      .filter(c => c.chunkType != ChunkType.Column && c.parentSeq != -2)
+      // top-level cover: everything except timing rows and OVERLAY columns
+      // (StripeColumn mode); top-level Column chunks (ColumnBased mode,
+      // parentSeq == -1) ARE the data cover and must be written
+      .filter(c => c.parentSeq != -2 &&
+        !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
       .repartition(col("file"))
       .sortWithinPartitions(col("file"), col("seq"))
       .mapPartitions { rows =>
@@ -249,9 +251,10 @@ object CawdEngine {
     val spark = chunks.sparkSession
     import spark.implicits._
     chunks
-      .filter(c => c.parentSeq == -1 || c.chunkType == ChunkType.StripeIndex ||
-        c.chunkType == ChunkType.StripeFooter)
-      .filter(c => c.chunkType != ChunkType.Column)
+      // same top-level cover rule as reconstructTo: drop timing rows and
+      // overlay columns only — ColumnBased top-level Column chunks are data
+      .filter(c => c.parentSeq != -2 &&
+        !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
       // Externally-sorted stream per file: Spark's shuffle sort orders rows
       // on disk, and the digest consumes them one by one — at no point does
       // a whole file's content sit in one task's heap.

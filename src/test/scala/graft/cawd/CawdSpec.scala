@@ -109,6 +109,47 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("format matrix: cover + byte-identical reconstruction across codecs, stripe sizes, blooms") {
+    import spark.implicits._
+    val df = spark.range(0, 20000).select(
+      col("id"),
+      (col("id") % 13).cast("double").as("d"),
+      concat(lit("text-"), col("id") % 97).as("s"),
+      (col("id") % 5 === 0).as("b"))
+
+    val orcVariants = Seq(
+      ("zlib-small-stripes", Map("compression" -> "zlib", "orc.stripe.size" -> "65536")),
+      ("snappy-bloom", Map("compression" -> "snappy", "orc.bloom.filter.columns" -> "s")),
+      ("none", Map("compression" -> "none")))
+    for ((name, opts) <- orcVariants) {
+      val out = s"$dir/orc-$name"
+      df.orderBy("id").coalesce(1).write.mode("overwrite").options(opts).orc(out)
+      val p = firstPart(out, ".orc")
+      for (mode <- Seq(OrcChunker.Naive, OrcChunker.ColumnBased, OrcChunker.StripeColumn)) {
+        val chunks = OrcChunker.chunk(p, 0, mode)
+        assertContiguous(chunks, fileLen(p))
+        val check = CawdEngine.reconstructionCheck(spark.createDataset(chunks)).collect()
+        assert(check.head.getBoolean(3), s"orc $name/$mode not byte-identical")
+      }
+    }
+
+    val pqVariants = Seq(
+      ("gzip-small-pages", Map("compression" -> "gzip",
+        "parquet.page.size" -> "4096", "parquet.block.size" -> "131072")),
+      ("snappy-nodict", Map("compression" -> "snappy",
+        "parquet.enable.dictionary" -> "false")),
+      ("uncompressed", Map("compression" -> "uncompressed")))
+    for ((name, opts) <- pqVariants) {
+      val out = s"$dir/pq-$name"
+      df.orderBy("id").coalesce(1).write.mode("overwrite").options(opts).parquet(out)
+      val p = firstPart(out, ".parquet")
+      val chunks = ParquetChunker.chunk(p, 0)
+      assertContiguous(chunks, fileLen(p))
+      val check = CawdEngine.reconstructionCheck(spark.createDataset(chunks)).collect()
+      assert(check.head.getBoolean(3), s"parquet $name not byte-identical")
+    }
+  }
+
   test("reconstruction sink materializes byte-identical files") {
     import spark.implicits._
     val dest = s"$dir/recon"
