@@ -67,13 +67,14 @@ object TextQueries {
     df.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
 
-  /** (doc_id, band, bkey) minhash LSH band keys. One shingle explode, k min
-    * aggregates, band concat — the at-scale shape.
+  /** (doc_id, band, bkey) minhash LSH band keys from a (doc_id, s) shingle
+    * set. One shingle explode, k min aggregates, band concat — the at-scale
+    * shape.
     */
-  private def minhashBands(df: DataFrame): DataFrame = {
+  private def minhashBands(sh: DataFrame): DataFrame = {
     val mins = (0 until MinHashK).map(k =>
       min(md5(concat_ws(":", lit(k), col("s")))).as(s"h$k"))
-    val sig = docShingles(df).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = (0 until MinHashK / MinHashR).map { b =>
       val cols = (b * MinHashR until (b + 1) * MinHashR).map(k => col(s"h$k"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bkey"))
@@ -83,11 +84,11 @@ object TextQueries {
       .cache() // both sides of the candidate self-join
   }
 
-  /** Exact pairwise Jaccard over shingles (ida < idb), optionally restricted
-    * to a candidate-pair set (the LSH path — only candidates are verified).
+  /** Exact pairwise Jaccard over a cached (doc_id, s) shingle set
+    * (ida < idb), optionally restricted to a candidate-pair set (the LSH
+    * path — only candidates are verified).
     */
-  private def jaccardOf(df: DataFrame, cands: Option[DataFrame]): DataFrame = {
-    val sh = docShingles(df).cache() // probed 3× (sizes + both join sides)
+  private def jaccardOf(sh: DataFrame, cands: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // prune each join side to docs that appear in candidates BEFORE the
     // shingle-match join — the LSH verify stage then scales with the
@@ -221,19 +222,19 @@ object TextQueries {
         .join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
-      jaccardOf(df, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
+      jaccardOf(sh, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
     }),
 
     // MinHash+LSH: banded candidates → exact-Jaccard verification.
     "d06_minhash_lsh_pairs" -> ((s, d) => {
-      val df = documents(s, d)
-      val bands = minhashBands(df)
+      val sh = docShingles(documents(s, d)).cache() // bands + both verify sides
+      val bands = minhashBands(sh)
       val cands = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
-      jaccardOf(df, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
+      jaccardOf(sh, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
     }),
 
     // SimHash 64-bit fingerprints (4 × 16-bit bands, tf-weighted md5 bits).
@@ -277,19 +278,23 @@ object TextQueries {
     // same per-iteration plan shape (join + min-aggregate).
     "d10_neardup_clusters" -> ((s, d) => {
       val df = documents(s, d)
-      val bands = minhashBands(df)
+      val sh = docShingles(df).cache() // bands + both verify sides
+      val bands = minhashBands(sh)
       val cands = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
-      val pairs = jaccardOf(df, Some(cands))
+      val pairs = jaccardOf(sh, Some(cands))
         .filter(col("jaccard") >= JaccardThreshold)
         .select("ida", "idb")
       val edges = pairs
         .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
         .toDF("src", "dst").cache()
-      var labels = df.select(col("doc_id"), col("doc_id").as("label")).cache()
+      // localCheckpoint truncates lineage each round — the label table stays
+      // a flat scan instead of an ever-deepening join tree
+      var labels = df.select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val next = labels.as("l")
@@ -299,11 +304,10 @@ object TextQueries {
           .groupBy(col("l.doc_id").as("doc_id"))
           .agg(least(min(col("l.label")), coalesce(min(col("nl")),
             min(col("l.label")))).as("label"))
-          .cache()
+          .localCheckpoint(true)
         changed = next.as("n")
           .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
           .filter(col("n.label") =!= col("o.label")).count()
-        labels.unpersist()
         labels = next
       }
       labels

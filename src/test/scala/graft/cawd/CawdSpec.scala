@@ -227,6 +227,41 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(copy.getOrElse("hit", 0L) > 0L)
   }
 
+  test("assignBuckets: splits by bytes at top-level boundaries; overlays stay with their stripe") {
+    def mk(seq: Int, t: String, start: Long, size: Long, parent: Int) =
+      FileChunk("f", 0, seq, t, start, size, -1, "", parent,
+        Array.emptyByteArray, Array.emptyByteArray)
+    // 6 stripes of 10 MB, each with 2 column overlays + linked footer
+    var seq = -1
+    val metas = (0 until 6).flatMap { s =>
+      val base = s * 10L * (1 << 20)
+      val stripeSeq = { seq += 1; seq }
+      Seq(mk(stripeSeq, ChunkType.StripeData, base, 10L << 20, -1),
+        mk({ seq += 1; seq }, ChunkType.Column, base, 5L << 20, stripeSeq),
+        mk({ seq += 1; seq }, ChunkType.Column, base + (5L << 20), 5L << 20, stripeSeq),
+        mk({ seq += 1; seq }, ChunkType.StripeFooter, base + (10L << 20) - 100, 100, stripeSeq))
+    }
+    val buckets = CawdEngine.assignBuckets(metas, target = 16L << 20)
+    val byBucket = buckets.groupMap(_._2)(_._1)
+    assert(byBucket.size > 1, "60 MB of top-level bytes must split at 16 MB target")
+    // every overlay/linked chunk shares its stripe's bucket
+    val stripeBucket = buckets.collect {
+      case (m, b) if m.chunkType == ChunkType.StripeData => m.seq -> b
+    }.toMap
+    buckets.foreach { case (m, b) =>
+      if (m.parentSeq >= 0)
+        assert(b == stripeBucket(m.parentSeq), s"chunk ${m.seq} split from its stripe")
+    }
+    // buckets cover disjoint, contiguous byte ranges in order
+    val ranges = byBucket.toSeq.sortBy(_._1).map { case (_, ms) =>
+      (ms.map(_.start).min, ms.map(m => m.start + m.size).max)
+    }
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"bucket ranges overlap: $a $b")
+      case _ =>
+    }
+  }
+
   test("RegionHash streams >2 GiB files with Long offsets (no Int truncation)") {
     // sparse file: only the probed regions have real bytes; holes read as
     // zeros without occupying disk
