@@ -72,10 +72,7 @@ object CawdEngine {
     val planned: Dataset[(FileChunk, Int)] =
       spark.createDataset(files).repartition(n).flatMap { case (path, rank) =>
         val t0 = System.currentTimeMillis()
-        val metas = fmt match {
-          case Orc     => OrcChunker.plan(path, rank, orcMode)
-          case Parquet => ParquetChunker.plan(path, rank)
-        }
+        val metas = planFile(path, rank, fmt, orcMode)
         val planMs = System.currentTimeMillis() - t0
         // timing side-channel row (ParsingOverhead source); parentSeq == -2
         // keeps it out of dedup, exports, and bucket math
@@ -114,12 +111,30 @@ object CawdEngine {
       .withColumn("unit", lit(Metric.Milliseconds))
       .select("file", "metric", "value", "unit")
 
+  /** Plan one file's chunk metas; a structural parse failure degrades to a
+    * single whole-file [[ChunkType.Error]] chunk (raw transfer, still
+    * reconstructable) instead of failing the task — the reference's ERROR
+    * chunk type, and the only sane behavior at corpus scale.
+    */
+  private[graft] def planFile(path: String, rank: Int, fmt: Format,
+                             orcMode: OrcChunker.Mode): Seq[FileChunk] =
+    try fmt match {
+      case Orc     => OrcChunker.plan(path, rank, orcMode)
+      case Parquet => ParquetChunker.plan(path, rank)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        val p = new Path(path)
+        val len = p.getFileSystem(new Configuration()).getFileStatus(p).getLen
+        Seq(FileChunk(path, rank, 0, ChunkType.Error, 0, len, -1, "", -1,
+          Array.emptyByteArray, Array.emptyByteArray))
+    }
+
   /** Bucket metas into ~[[SplitBytes]] byte ranges. Cuts only at top-level
     * chunk boundaries (`parentSeq == -1`), so Column subchunks — which
     * overlay their stripe's data region — always share their stripe's
     * bucket and each bucket reads one contiguous range.
     */
-  private[cawd] def assignBuckets(metas: Seq[FileChunk],
+  private[graft] def assignBuckets(metas: Seq[FileChunk],
                                   target: Long = SplitBytes): Seq[(FileChunk, Int)] = {
     var bucket = 0
     var acc = 0L

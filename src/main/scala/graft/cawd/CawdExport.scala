@@ -32,9 +32,16 @@ object CawdExport {
     * oracle compute from byte-identical input.
     */
   def materialize(spark: SparkSession, sfDir: String, tag: String,
-                  chunks: Dataset[FileChunk]): DataFrame = {
+                  chunks: Dataset[FileChunk]): DataFrame =
+    materializeChunkDf(spark, sfDir, tag, chunks.toDF())
+
+  /** Same, for an untyped chunk relation (e.g. the `graft-chunks` DSv2
+    * source) with at least the FileChunk columns.
+    */
+  def materializeChunkDf(spark: SparkSession, sfDir: String, tag: String,
+                         chunkDf: DataFrame): DataFrame = {
     val out = dir(sfDir, tag)
-    chunks.toDF()
+    chunkDf
       .filter(col("parentSeq") =!= -2) // timing side-channel rows are not data
       .select(
         regexp_replace(col("file"), ".*/", "").as("file"),

@@ -52,6 +52,14 @@ object ChunkType {
   // Anything not structurally interesting (padding, column/offset indexes…)
   val Regular = "Regular"
 
+  /** Structural parse failure: the file is readable but not valid
+    * ORC/Parquet (reference `ChunkType.ERROR`, e.g.
+    * `orc/dedup/NaiveORCChunkingAlgorithm.java:54-59`). The whole file
+    * becomes one raw chunk — it still transfers, reconstructs, and counts
+    * in stats; one corrupt file must never fail a 100 TB job.
+    */
+  val Error = "ERROR"
+
   /** Timing side-channel rows emitted by [[CawdEngine.chunkFiles]]
     * (`parentSeq == -2`, size = elapsed ms): per-file plan-pass duration →
     * `ParsingOverhead` and per-bucket hash-stage duration → `TransferTime`

@@ -74,11 +74,13 @@ object CawdQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S4: structural parquet chunk table over every corpus parquet file.
+    // S4: structural parquet chunk table over every corpus parquet file,
+    // read through the `graft-chunks` DataSource V2 provider — the DSv2
+    // path (partition planning, pruning, hashing reader) is what the
+    // oracle verifies here.
     "c01_parquet_chunk_table" -> ((s, d) => {
-      val chunks = CawdEngine.chunkFiles(s,
-        CawdEngine.listFiles(d, ".parquet"), CawdEngine.Parquet)
-      CawdExport.materialize(s, d, "c01", chunks)
+      val chunks = s.read.format("graft-chunks").load(d)
+      CawdExport.materializeChunkDf(s, d, "c01", chunks)
         .groupBy(col("file"), col("chunkType"))
         .agg(count(lit(1)).as("n_chunks"), sum(col("size")).as("bytes"))
         .orderBy("file", "chunkType")

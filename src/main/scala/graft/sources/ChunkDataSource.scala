@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+import scala.util.chaining._
+
+import graft.cawd.{CawdEngine, FileChunk, OrcChunker, RegionHash}
+
+/** DataSource V2 provider exposing structural chunk tables as a first-class
+  * `spark.read` source:
+  *
+  * {{{
+  * spark.read.format("graft-chunks")
+  *   .option("format", "orc")          // or "parquet" (default)
+  *   .option("orcMode", "stripecolumn") // naive | column | stripecolumn
+  *   .load("/data/orc")                 // directory; suffix-filtered, sorted
+  * }}}
+  *
+  * Schema = the FileChunk relation. COLUMN PRUNING IS LOAD-BEARING:
+  *   - neither `signature` nor `content` projected → the scan is
+  *     metadata-only (footers + headers; zero data bytes read);
+  *   - `signature` only → [[RegionHash]] streams each bucket's byte range
+  *     through a bounded window (hash-only dedup mode);
+  *   - `content` → chunk bytes are materialized (reconstruction mode).
+  *
+  * Partition planning mirrors [[CawdEngine.chunkFiles]]: one input
+  * partition per ~[[CawdEngine.SplitBytes]] byte-range bucket, so read
+  * parallelism scales with bytes, not file count. Footers are read on the
+  * driver during planning — fine for query-shaped use; the engine's
+  * distributed two-stage path remains the bulk-pipeline entry.
+  */
+class ChunkDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-chunks"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChunkDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChunkTable(properties.asScala.toMap)
+}
+
+object ChunkDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("fileRank", IntegerType, nullable = false),
+    StructField("seq", IntegerType, nullable = false),
+    StructField("chunkType", StringType, nullable = false),
+    StructField("start", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("colId", IntegerType, nullable = false),
+    StructField("colType", StringType, nullable = false),
+    StructField("parentSeq", IntegerType, nullable = false),
+    StructField("signature", BinaryType, nullable = true),
+    StructField("content", BinaryType, nullable = true)))
+}
+
+private[sources] class ChunkTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-chunks(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = ChunkDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChunkScanBuilder(props ++ options.asScala)
+}
+
+private[sources] class ChunkScanBuilder(props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ChunkDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ChunkScan(props, required)
+}
+
+private[sources] class ChunkScan(props: Map[String, String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val path = props.getOrElse("path",
+      throw new IllegalArgumentException("graft-chunks: missing path"))
+    val fmt = props.getOrElse("format", "parquet").toLowerCase match {
+      case "orc"     => CawdEngine.Orc
+      case "parquet" => CawdEngine.Parquet
+      case other => throw new IllegalArgumentException(
+        s"graft-chunks: unknown format '$other' (orc|parquet)")
+    }
+    val orcMode = props.getOrElse("orcMode", "stripecolumn").toLowerCase match {
+      case "naive"        => OrcChunker.Naive
+      case "column"       => OrcChunker.ColumnBased
+      case "stripecolumn" => OrcChunker.StripeColumn
+      case other => throw new IllegalArgumentException(
+        s"graft-chunks: unknown orcMode '$other'")
+    }
+    val suffix = props.getOrElse("suffix",
+      if (fmt == CawdEngine.Orc) ".orc" else ".parquet")
+    CawdEngine.listFiles(path, suffix).flatMap { case (file, rank) =>
+      CawdEngine.planFile(file, rank, fmt, orcMode)
+        .pipe(ms => CawdEngine.assignBuckets(ms))
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, ms) => ChunkInputPartition(file, ms.map(_._1).toArray) }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = required.fieldNames
+    val needHash = fields.contains("signature")
+    val needContent = fields.contains("content")
+    new ChunkReaderFactory(fields, needHash, needContent)
+  }
+}
+
+private[sources] case class ChunkInputPartition(
+    file: String, metas: Array[FileChunk]) extends InputPartition
+
+private[sources] class ChunkReaderFactory(
+    fields: Array[String], needHash: Boolean, needContent: Boolean)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChunkInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[FileChunk] =
+        if (needHash || needContent)
+          RegionHash.hashChunks(p.file, p.metas.sortBy(_.seq).toSeq, needContent).iterator
+        else p.metas.sortBy(_.seq).iterator
+      private var cur: FileChunk = _
+      override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map {
+        case "file"      => UTF8String.fromString(cur.file)
+        case "fileRank"  => cur.fileRank
+        case "seq"       => cur.seq
+        case "chunkType" => UTF8String.fromString(cur.chunkType)
+        case "start"     => cur.start
+        case "size"      => cur.size
+        case "colId"     => cur.colId
+        case "colType"   => UTF8String.fromString(cur.colType)
+        case "parentSeq" => cur.parentSeq
+        case "signature" => cur.signature
+        case "content"   => cur.content
+      })
+      override def close(): Unit = ()
+    }
+  }
+}

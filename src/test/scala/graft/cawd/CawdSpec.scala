@@ -150,6 +150,21 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corrupt file degrades to one ERROR chunk, still reconstructs byte-identically") {
+    import spark.implicits._
+    val bad = new java.io.File(dir, "corrupt.orc")
+    java.nio.file.Files.write(bad.toPath,
+      Array.fill[Byte](4096)(0x42)) // not ORC: no magic, no footer
+    val chunks = CawdEngine.chunkFiles(spark,
+      Seq((bad.getAbsolutePath, 0)), CawdEngine.Orc, withContent = true)
+      .collect().filter(_.parentSeq != -2)
+    assert(chunks.length == 1 && chunks.head.chunkType == ChunkType.Error)
+    assert(chunks.head.size == 4096)
+    val check = CawdEngine.reconstructionCheck(
+      spark.createDataset(chunks.toSeq)).collect()
+    assert(check.head.getBoolean(3), "ERROR chunk must reconstruct the raw file")
+  }
+
   test("reconstruction sink materializes byte-identical files") {
     import spark.implicits._
     val dest = s"$dir/recon"
