@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cawd._
+
+/** CLI entry point — the one-command replacement for the reference's
+  * client/server script pairs (`scripts/{plain,orc/naive,orc/column,
+  * orc/stripe+column,parquet/naive}/start{Client,Server}.sh`): run a dedup
+  * pipeline over a directory and print the per-file + global transfer
+  * stats the reference logs to client.log; optionally materialize
+  * reconstructed files (the server's output directory).
+  *
+  * Usage:
+  *   runMain graft.CawdMain <mode> <inputDir> [destDir] [--duplicate]
+  *
+  *   mode ∈ plain | orc-naive | orc-column | orc-sp | parquet
+  *   --duplicate re-sends every file as a byte-identical copy (the
+  *   README's warm-store experiment).
+  */
+object CawdMain {
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    if (pos.length < 2) {
+      System.err.println(
+        "usage: CawdMain <plain|orc-naive|orc-column|orc-sp|parquet> <inputDir> [destDir] [--duplicate]")
+      sys.exit(2)
+    }
+    val mode = pos(0)
+    val inDir = pos(1)
+    val dest = pos.lift(2)
+    val duplicate = args.contains("--duplicate")
+    val spark = GraftSession.get(s"graft-cawd-$mode")
+
+    val stats = mode match {
+      case "plain" =>
+        val frames = CawdEngine.plainFrames(spark,
+          CawdEngine.listFiles(inDir, "")).toDF()
+        Stats.rollup(frames
+          .groupBy(col("file"))
+          .agg(sum(col("size")).as("transfer"), count(lit(1)).as("frames"))
+          .select(col("file"), explode(map(
+            lit(Metric.TransferBytes), col("transfer").cast("double"),
+            lit("Frames"), col("frames").cast("double")))
+            .as(Seq("metric", "value")))
+          .withColumn("unit", lit(Metric.Bytes)))
+      case "orc-naive" =>
+        CawdEngine.flatDedupStats(spark, inDir, CawdEngine.Orc, duplicate,
+          OrcChunker.Naive)
+      case "orc-column" =>
+        CawdEngine.flatDedupStats(spark, inDir, CawdEngine.Orc, duplicate,
+          OrcChunker.ColumnBased, smallThreshold = 50L)
+      case "orc-sp" =>
+        CawdEngine.hierarchicalDedupStats(spark, inDir, duplicate)
+      case "parquet" =>
+        CawdEngine.flatDedupStats(spark, inDir, CawdEngine.Parquet, duplicate)
+      case other =>
+        System.err.println(s"unknown mode '$other'"); sys.exit(2); null
+    }
+    stats.orderBy("file", "metric").show(10000, truncate = false)
+
+    dest.foreach { out =>
+      val (fmt, suffix, orcMode) = mode match {
+        case "parquet" | "plain" => (CawdEngine.Parquet, ".parquet", OrcChunker.Naive)
+        case "orc-naive"         => (CawdEngine.Orc, ".orc", OrcChunker.Naive)
+        case "orc-column"        => (CawdEngine.Orc, ".orc", OrcChunker.ColumnBased)
+        case _                   => (CawdEngine.Orc, ".orc", OrcChunker.StripeColumn)
+      }
+      val chunks = CawdEngine.chunkFiles(spark,
+        CawdEngine.listFiles(inDir, suffix), fmt, orcMode, withContent = true)
+      CawdEngine.reconstructTo(chunks, out).show(10000, truncate = false)
+    }
+    spark.stop()
+  }
+}

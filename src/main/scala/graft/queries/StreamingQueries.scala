@@ -29,6 +29,40 @@ object StreamingQueries {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Structured Streaming windowed aggregation over the events stream:
+    // 5-minute tumbling event-time windows with a watermark, complete-mode
+    // memory sink. With AvailableNow the final result equals the batch
+    // aggregation, so the streaming machinery (file source, window(),
+    // stateful agg) gets a value-level oracle.
+    "s02_streaming_window" -> ((s, d) => {
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$d/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet") // the dir holds all tables
+        .parquet(d)
+      val fixed =
+        if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else stream
+      val name = s"s02_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = fixed
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(name)
+        .select(unix_timestamp(col("window.start")).as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    }),
+
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
       val root = new Path(s"${sys.props("java.io.tmpdir")}/graft-stream/${UUID.randomUUID()}")
@@ -63,6 +97,13 @@ object StreamingQueries {
     "s01_streaming_dedup" -> CawdOracleSql.flatSql("s01",
       ChunkType.parquetDedupable, 0L,
       keyExpr = "(batchId * 4194304 + fileRank) * 4294967296 + seq",
-      glob = Some(s"${CawdExport.Root}/sf0.01/s01/batch=*/*.parquet"))
+      glob = Some(s"${CawdExport.Root}/sf0.01/s01/batch=*/*.parquet")),
+
+    // complete-mode streaming window == batch tumbling-window aggregation
+    "s02_streaming_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
