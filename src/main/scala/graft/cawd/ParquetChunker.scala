@@ -6,7 +6,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.format.{PageType, Util}
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.format.converter.ParquetMetadataConverter
 
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
@@ -46,8 +45,11 @@ object ParquetChunker {
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
 
-    val footer = ParquetFileReader.readFooter(conf, path,
-      ParquetMetadataConverter.NO_FILTER)
+    val footer = {
+      val reader = ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+      try reader.getFooter finally reader.close()
+    }
 
     val metas = ArrayBuffer.empty[(String, Long, Long, Int, String)]
     def add(t: String, start: Long, size: Long, colId: Int = -1,

@@ -71,18 +71,18 @@ object StreamingQueries {
       val store = new Path(root, "store").toString
       val stats = new Path(root, "stats").toString
       val ckpt = new Path(root, "ckpt").toString
-      val export = CawdExport.dir(d, "s01")
-      fs.delete(new Path(export), true) // per-batch appends; fresh per run
+      val exportDir = CawdExport.dir(d, "s01")
+      fs.delete(new Path(exportDir), true) // per-batch partitions; fresh per run
       val srcs = CawdEngine.listFiles(d, ".parquet").map(_._1)
       try {
         // wave 1: originals arrive
         copyInto(fs, conf, srcs, inDir, "")
         StreamingEngine.start(s, inDir.toString, store, stats, ".parquet",
-          CawdEngine.Parquet, ckpt, Some(export)).awaitTermination()
+          CawdEngine.Parquet, ckpt, Some(exportDir)).awaitTermination()
         // wave 2: byte-identical copies arrive later
         copyInto(fs, conf, srcs, inDir, "zz_copy_")
         StreamingEngine.start(s, inDir.toString, store, stats, ".parquet",
-          CawdEngine.Parquet, ckpt, Some(export)).awaitTermination()
+          CawdEngine.Parquet, ckpt, Some(exportDir)).awaitTermination()
 
         StreamingEngine.statsRollup(s, stats)
           .orderBy("file", "metric")
