@@ -33,16 +33,16 @@ object CawdMain {
 
     val stats = mode match {
       case "plain" =>
-        val frames = CawdEngine.plainFrames(spark,
+        val perFile = CawdEngine.plainFrames(spark,
           CawdEngine.listFiles(inDir, "")).toDF()
-        Stats.rollup(frames
           .groupBy(col("file"))
           .agg(sum(col("size")).as("transfer"), count(lit(1)).as("frames"))
-          .select(col("file"), explode(map(
-            lit(Metric.TransferBytes), col("transfer").cast("double"),
-            lit("Frames"), col("frames").cast("double")))
-            .as(Seq("metric", "value")))
-          .withColumn("unit", lit(Metric.Bytes)))
+        Stats.rollup(perFile
+          .select(col("file"), lit(Metric.TransferBytes).as("metric"),
+            col("transfer").cast("double").as("value"), lit(Metric.Bytes).as("unit"))
+          .unionByName(perFile
+            .select(col("file"), lit("Frames").as("metric"),
+              col("frames").cast("double").as("value"), lit(Metric.Count).as("unit"))))
       case "orc-naive" =>
         CawdEngine.flatDedupStats(spark, inDir, CawdEngine.Orc, duplicate,
           OrcChunker.Naive)
@@ -59,14 +59,23 @@ object CawdMain {
     stats.orderBy("file", "metric").show(10000, truncate = false)
 
     dest.foreach { out =>
-      val (fmt, suffix, orcMode) = mode match {
-        case "parquet" | "plain" => (CawdEngine.Parquet, ".parquet", OrcChunker.Naive)
-        case "orc-naive"         => (CawdEngine.Orc, ".orc", OrcChunker.Naive)
-        case "orc-column"        => (CawdEngine.Orc, ".orc", OrcChunker.ColumnBased)
-        case _                   => (CawdEngine.Orc, ".orc", OrcChunker.StripeColumn)
+      // plain mode framed EVERY file, so reconstruction must too — the
+      // frame table IS its chunk table; structural modes re-chunk with
+      // content for the ordered write
+      val chunks = mode match {
+        case "plain" =>
+          CawdEngine.plainFrames(spark, CawdEngine.listFiles(inDir, ""),
+            withContent = true)
+        case _ =>
+          val (fmt, suffix, orcMode) = mode match {
+            case "parquet"    => (CawdEngine.Parquet, ".parquet", OrcChunker.Naive)
+            case "orc-naive"  => (CawdEngine.Orc, ".orc", OrcChunker.Naive)
+            case "orc-column" => (CawdEngine.Orc, ".orc", OrcChunker.ColumnBased)
+            case _            => (CawdEngine.Orc, ".orc", OrcChunker.StripeColumn)
+          }
+          CawdEngine.chunkFiles(spark,
+            CawdEngine.listFiles(inDir, suffix), fmt, orcMode, withContent = true)
       }
-      val chunks = CawdEngine.chunkFiles(spark,
-        CawdEngine.listFiles(inDir, suffix), fmt, orcMode, withContent = true)
       CawdEngine.reconstructTo(chunks, out).show(10000, truncate = false)
     }
     spark.stop()

@@ -24,8 +24,19 @@ object PlanAudit {
           "CARTESIAN" -> plan.contains("CartesianProduct"),
           "SMJ" -> plan.contains("SortMergeJoin")
         ).collect { case (f, true) => f }
-        val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
-          .map(_.group(1).count(_ == ':')).toSeq
+        // count TOP-LEVEL fields of each ReadSchema (nested array<>/struct<>
+        // types must not truncate the match or inflate the count)
+        val scans = "ReadSchema: struct<(.*)>".r.findAllMatchIn(plan).map { m =>
+          var depth = 0
+          var fields = if (m.group(1).isEmpty) 0 else 1
+          m.group(1).foreach {
+            case '<'              => depth += 1
+            case '>'              => depth -= 1
+            case ',' if depth == 0 => fields += 1
+            case _                =>
+          }
+          fields
+        }.toSeq
         val unexpected = (flags.contains("CARTESIAN")
           || (flags.contains("NLJ") && name != "e01_cosine_topk"))
         if (unexpected) bad += 1

@@ -87,8 +87,13 @@ object Dedup {
                  smallThreshold: Long = 0L,
                  store: Option[DataFrame] = None): DataFrame = {
     // the chunk set feeds multiple plan branches (probe + passthrough) and
-    // the probe joins back on itself — cache to chunk each file exactly once
-    val cached = chunks.cache()
+    // the probe joins back on itself — cache to chunk each file exactly
+    // once. An already-cached input is reused as-is so callers that manage
+    // their own cache lifecycle (the streaming engine, once per batch) can
+    // unpersist it and not leak one relation per micro-batch.
+    val cached =
+      if (chunks.storageLevel != org.apache.spark.storage.StorageLevel.NONE) chunks
+      else chunks.cache()
     val special = cached
       .filter(col("parentSeq") === -1) // hierarchical subchunks not in play here
       .filter(col("chunkType").isInCollection(dedupable) &&

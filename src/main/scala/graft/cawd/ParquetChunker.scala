@@ -64,6 +64,7 @@ object ParquetChunker {
       // window if the header happens to straddle it (headers are tens of
       // bytes; 64 KiB succeeds in practice on the first try).
       def readHeaderAt(pos: Long, end: Long): (org.apache.parquet.format.PageHeader, Int) = {
+        val MaxWindow = 1 << 24 // a sane page header is tens of bytes
         var window = 1 << 16
         while (true) {
           val len = math.min(window.toLong, end - pos).toInt
@@ -75,7 +76,13 @@ object ParquetChunker {
             val h = Util.readPageHeader(bis)
             return (h, before - bis.available())
           } catch {
-            case e: Exception if len < (end - pos) => window *= 4 // truncated window
+            case _: Exception if len < (end - pos) && window < MaxWindow =>
+              window *= 4 // header straddled the window; retry larger
+            case e: Exception =>
+              // corrupt/lying footer — fail fast so planFile degrades the
+              // whole file to one ERROR chunk instead of looping
+              throw new IllegalStateException(
+                s"unparseable page header at $pos (window $len)", e)
           }
         }
         throw new IllegalStateException("unreachable")

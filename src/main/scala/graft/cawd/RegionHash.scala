@@ -32,12 +32,19 @@ object RegionHash {
     */
   def hashChunks(pathStr: String, metas: Seq[FileChunk],
                  withContent: Boolean): Seq[FileChunk] = {
-    if (metas.isEmpty) return metas
+    // zero-size regions (e.g. the ERROR chunk of an empty file) never enter
+    // the streaming loop: digest of zero bytes, done — the loop's
+    // activation condition (start < window end) can never fire for them
+    val (empty, nonEmpty) = metas.partition(_.size == 0)
+    val emptyHashed = empty.map(_.copy(
+      signature = java.security.MessageDigest.getInstance("SHA-1").digest(),
+      content = Array.emptyByteArray))
+    if (nonEmpty.isEmpty) return (emptyHashed ++ Nil).sortBy(_.seq)
     val path = new Path(pathStr)
     val fs = path.getFileSystem(new Configuration())
-    val n = metas.length
-    val starts = metas.map(_.start).toArray
-    val ends = metas.map(m => m.start + m.size).toArray
+    val n = nonEmpty.length
+    val starts = nonEmpty.map(_.start).toArray
+    val ends = nonEmpty.map(m => m.start + m.size).toArray
     require(starts.indices.drop(1).forall(i => starts(i) >= starts(i - 1)),
       s"metas not sorted by start for $pathStr")
 
@@ -64,9 +71,9 @@ object RegionHash {
         while (nextIdx < n && starts(nextIdx) < wEnd) {
           digests(nextIdx) = MessageDigest.getInstance("SHA-1")
           if (withContent) {
-            require(metas(nextIdx).size <= Int.MaxValue,
-              s"withContent requires chunks < 2 GiB (${metas(nextIdx).size} at ${metas(nextIdx).chunkType})")
-            contents(nextIdx) = new Array[Byte](metas(nextIdx).size.toInt)
+            require(nonEmpty(nextIdx).size <= Int.MaxValue,
+              s"withContent requires chunks < 2 GiB (${nonEmpty(nextIdx).size} at ${nonEmpty(nextIdx).chunkType})")
+            contents(nextIdx) = new Array[Byte](nonEmpty(nextIdx).size.toInt)
           }
           active += nextIdx
           nextIdx += 1
@@ -95,9 +102,10 @@ object RegionHash {
       }
     } finally in.close()
 
-    metas.zipWithIndex.map { case (m, i) =>
+    val hashed = nonEmpty.zipWithIndex.map { case (m, i) =>
       m.copy(signature = sigs(i),
         content = if (withContent) contents(i) else Array.emptyByteArray)
     }
+    (hashed ++ emptyHashed).sortBy(_.seq)
   }
 }

@@ -104,7 +104,8 @@ object StreamingEngine {
     }
     // stats/export see basenames so downstream output (and the DuckDB
     // oracle re-deriving it) doesn't depend on temp-dir paths
-    val status = Dedup.flatStatus(chunks.toDF(), dedupable,
+    val chunkDf = chunks.toDF().cache() // ours to release; flatStatus reuses it
+    val status = Dedup.flatStatus(chunkDf, dedupable,
       store = readStore(spark, storeDir, beforeBatch = Some(batchId)))
       .withColumn("file", regexp_replace(col("file"), ".*/", ""))
       .cache()
@@ -126,7 +127,10 @@ object StreamingEngine {
           col("status").as("engine_status"))
           .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
       }
-    } finally status.unpersist()
+    } finally {
+      status.unpersist()
+      chunkDf.unpersist()
+    }
   }
 
   /** Batch view over the accumulated streaming stats (per-file + global

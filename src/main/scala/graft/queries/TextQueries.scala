@@ -216,7 +216,10 @@ object TextQueries {
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
         .join(sizes, "doc_id")
-        .filter(col("rnk") <= col("n") - ceil(col("n") * JaccardThreshold) + 1)
+        // n - floor(t*n) + 1 >= the exact bound n - ceil(t*n) + 1 for every
+        // n (equal when t*n is integral, one longer otherwise) and immune to
+        // double ceil() overshoot (ceil(15*0.8) = 13 in floating point)
+        .filter(col("rnk") <= col("n") - floor(col("n") * JaccardThreshold) + 1)
         .select("doc_id", "s")
       val cands = prefix.as("a")
         .join(prefix.as("b"),

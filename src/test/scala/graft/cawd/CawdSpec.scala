@@ -150,6 +150,18 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("zero-byte file terminates: one empty ERROR chunk with sha1 of zero bytes") {
+    import spark.implicits._
+    val empty = new java.io.File(dir, "empty.parquet")
+    empty.createNewFile()
+    val chunks = CawdEngine.chunkFiles(spark,
+      Seq((empty.getAbsolutePath, 0)), CawdEngine.Parquet)
+      .collect().filter(_.parentSeq != -2)
+    assert(chunks.length == 1 && chunks.head.chunkType == ChunkType.Error)
+    assert(chunks.head.size == 0)
+    assert(java.util.Arrays.equals(chunks.head.signature, Sha1.of(Array.emptyByteArray)))
+  }
+
   test("corrupt file degrades to one ERROR chunk, still reconstructs byte-identically") {
     import spark.implicits._
     val bad = new java.io.File(dir, "corrupt.orc")
