@@ -150,6 +150,21 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reference sample fixtures: cover + byte-identical reconstruction (all ORC modes)") {
+    // the reference repo's own test files (res/sample-1.orc, res/sample-2.orc)
+    import spark.implicits._
+    val samples = Seq("/root/reference/res/sample-1.orc",
+      "/root/reference/res/sample-2.orc").filter(new java.io.File(_).exists())
+    assume(samples.nonEmpty, "reference fixtures not present")
+    for (p <- samples; mode <- Seq(OrcChunker.Naive, OrcChunker.ColumnBased,
+        OrcChunker.StripeColumn)) {
+      val chunks = OrcChunker.chunk(p, 0, mode)
+      assertContiguous(chunks, fileLen(p))
+      val check = CawdEngine.reconstructionCheck(spark.createDataset(chunks)).collect()
+      assert(check.head.getBoolean(3), s"$p/$mode not byte-identical")
+    }
+  }
+
   test("zero-byte file terminates: one empty ERROR chunk with sha1 of zero bytes") {
     import spark.implicits._
     val empty = new java.io.File(dir, "empty.parquet")
