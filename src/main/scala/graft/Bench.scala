@@ -22,14 +22,16 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the projections being measured)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // each query caches what IT reuses across its own plan branches;
       // dropping those blocks afterwards keeps measurements independent
       // (36 queries' cached binaries otherwise pile up into GC churn)
       spark.catalog.clearCache()
-      dt
+      // a crashed query must not masquerade as a fast one: -1 sentinel
+      if (ok) dt else -1.0
     }
 
     names.foreach { case (n, fn) => runOne(n, fn) } // warm-up (untimed)
@@ -38,7 +40,7 @@ object Bench {
     val results = names.map { case (name, fn) => name -> runOne(name, fn) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$trafficParity}""")
     spark.stop()
   }

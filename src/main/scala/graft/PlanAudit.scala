@@ -15,6 +15,9 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.get("plan-audit")
+    // default 100-char truncation would cut ReadSchema mid-field and hide
+    // exactly the pruning regressions this audit exists to catch
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

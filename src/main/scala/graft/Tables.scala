@@ -18,7 +18,7 @@ object Tables {
     * which we truncate to microsecond timestamps (matching DuckDB's value
     * to the microsecond; the corpus generator emits whole-second stamps).
     */
-  private def fixEventTs(df: DataFrame): DataFrame =
+  private[graft] def fixEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

@@ -152,7 +152,10 @@ object CawdEngine {
   def withDuplicates(chunks: Dataset[FileChunk]): Dataset[FileChunk] = {
     import chunks.sparkSession.implicits._
     val shift = 1 << 20
-    chunks.union(chunks.map(c =>
+    // cache the base: both union branches share it, so the corpus is read
+    // and hashed ONCE — the copies are derived rows, not a second pass
+    val base = chunks.cache()
+    base.union(base.map(c =>
       c.copy(file = c.file + "+copy", fileRank = c.fileRank + shift)))
   }
 
@@ -246,6 +249,9 @@ object CawdEngine {
             out = dp.getFileSystem(conf).create(dp, true)
             written = 0L
           }
+          require(c.content.length == c.size,
+            s"reconstructTo needs materialized content (withContent = true); " +
+              s"chunk ${c.file}#${c.seq} carries ${c.content.length} of ${c.size} bytes")
           out.write(c.content)
           written += c.content.length
         }

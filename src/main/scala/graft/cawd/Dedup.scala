@@ -39,7 +39,10 @@ object Dedup {
     */
   object Wire {
     val SigProbe: Long = 4 + Sha1.Size // <type:int><sha1:20> per special chunk
-    def fileHeader(name: String): Long = 4 + name.length + 8 // <len><name><size>
+    // per-file header <nameLen:int><name><fileLen:long>: 12 fixed bytes +
+    // the name; [[Stats.fromStatus]] adds length(file) to this (the oracle
+    // SQL mirrors the same 12, CawdOracleSql.statsRollupSql)
+    val FileHeaderFixed: Long = 4 + 8
   }
 
   /** Columns appended by [[markFirstOccurrence]]. */
@@ -213,16 +216,5 @@ object Dedup {
       .unionByName(smallCols)
       .unionByName(footerStatus)
       .unionByName(raw)
-  }
-
-  /** The store after a batch: previous store ∪ first occurrences. Content
-    * is deduplicated by signature (A5 — HashMap put semantics keep one copy,
-    * `NaiveORCChunkStore.java:22`).
-    */
-  def updatedStore(statusDf: DataFrame, prev: Option[DataFrame] = None): DataFrame = {
-    val inserts = statusDf.filter(col("status") === "miss")
-      .select("signature", "chunkType", "size", "content")
-    val all = prev.map(_.unionByName(inserts)).getOrElse(inserts)
-    all.dropDuplicates("signature")
   }
 }

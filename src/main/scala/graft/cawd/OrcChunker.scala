@@ -143,7 +143,9 @@ object OrcChunker {
                 add(ChunkType.StripeData, dataStart, s.getDataLength)
             case StripeColumn =>
               add(ChunkType.StripeData, dataStart, s.getDataLength)
-              stripeIdx = metas.size - 1
+              // add() skips zero-size chunks — only link when it appended
+              if (metas.nonEmpty && metas.last._1 == ChunkType.StripeData)
+                stripeIdx = metas.size - 1
               columnRegions.foreach { case (c, rs, rl) =>
                 add(ChunkType.Column, rs, rl, c, types.getOrElse(c, ""), stripeIdx)
               }

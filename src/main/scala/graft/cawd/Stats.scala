@@ -82,7 +82,7 @@ object Stats {
       sum(when(sent, col("size")).otherwise(0L)).as("transfer"),
       sum(when(col("status").isin("hit", "hit_linked"), col("size")).otherwise(0L)).as("dedup"),
       sum(when(probed, lit(Dedup.Wire.SigProbe)).otherwise(0L)).as("probeOverhead"),
-      max(length(col("file")) + 12).as("headerOverhead"),
+      max(length(col("file")) + lit(Dedup.Wire.FileHeaderFixed)).as("headerOverhead"),
       sum(when(topLevel, col("size")).otherwise(0L)).as("fileBytes"))
 
     val counters = statusDf

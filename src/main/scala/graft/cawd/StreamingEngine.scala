@@ -97,7 +97,11 @@ object StreamingEngine {
     val ranked = paths.zipWithIndex.map { case (p, i) =>
       (p.stripPrefix("file:"), i)
     }
-    val chunks = CawdEngine.chunkFiles(spark, ranked.toSeq, fmt)
+    // ORC streams dedup with the NAIVE vocabulary, so chunk in Naive mode
+    // too — StripeColumn's linked chunks (parentSeq != -1) would silently
+    // fall out of flatStatus's top-level filter and the exported table
+    val chunks = CawdEngine.chunkFiles(spark, ranked.toSeq, fmt,
+      orcMode = OrcChunker.Naive)
     val dedupable = fmt match {
       case CawdEngine.Parquet => ChunkType.parquetDedupable
       case CawdEngine.Orc     => ChunkType.naiveOrcDedupable

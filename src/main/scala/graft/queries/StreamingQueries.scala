@@ -39,10 +39,7 @@ object StreamingQueries {
         .schema(s.read.parquet(s"$d/events.parquet").schema)
         .option("pathGlobFilter", "events.parquet") // the dir holds all tables
         .parquet(d)
-      val fixed =
-        if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else stream
+      val fixed = graft.Tables.fixEventTs(stream)
       val name = s"s02_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = fixed
         .withWatermark("ts", "10 minutes")

@@ -73,7 +73,7 @@ object VectorQueries {
        |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (LshPlanes * 64 - 1) + ")"
                                   else s"range(0, ${LshPlanes * 64})"}) AS k) kk),
        |signs AS (
-       |  SELECT vec_id, p, CASE WHEN sum(x * w) > 0 THEN 1 ELSE 0 END AS b
+       |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
        |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
        |buckets AS (
        |  SELECT vec_id, CAST(sum($shl) AS BIGINT) AS bucket FROM signs GROUP BY vec_id)
@@ -171,7 +171,7 @@ object VectorQueries {
        |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (nPlanes * 64 - 1) + ")"
                                   else s"range(0, ${nPlanes * 64})"}) AS k) kk),
        |signs AS (
-       |  SELECT vec_id, p, CASE WHEN sum(x * w) > 0 THEN 1 ELSE 0 END AS b
+       |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
        |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
        |bandbuckets AS (
        |  SELECT vec_id, CAST(floor(p / $NdPlanesPerBand.0) AS INT) AS band,
