@@ -51,6 +51,8 @@ object ChunkType {
   val AfterFooter   = "AfterFooter" // trailing 4-byte footer length + magic
   // Anything not structurally interesting (padding, column/offset indexes…)
   val Regular = "Regular"
+  // Content-defined chunk (gear/FastCDC baseline, [[graft.cawd.CdcChunker]])
+  val CdcChunk = "CdcChunk"
 
   /** Structural parse failure: the file is readable but not valid
     * ORC/Parquet (reference `ChunkType.ERROR`, e.g.
@@ -79,6 +81,7 @@ object ChunkType {
   val naiveOrcDedupable: Set[String]   = Set(StripeData, FileFooter)
   val columnOrcDedupable: Set[String]  = Set(Column, FileFooter)
   val parquetDedupable: Set[String]    = Set(DictPage, DataPageV1, DataPageV2)
+  val cdcDedupable: Set[String]        = Set(CdcChunk)
 }
 
 object Sha1 {

@@ -133,6 +133,18 @@ object CawdQueries {
         .orderBy("file")
     }),
 
+    // Content-defined chunking baseline (gear/FastCDC, [[CdcChunker]]):
+    // the dedup literature's alternative to structural chunking, on the
+    // same corpus + byte-identical copies. Compare its DedupBytes with
+    // c03's to see what format awareness buys (the reference's thesis).
+    "c09_cdc_dedup_warm" -> ((s, d) => {
+      val chunked = CdcChunker.chunkFiles(s, CawdEngine.listFiles(d, ".parquet"))
+      val tbl = CawdExport.materialize(s, d, "c09",
+        CawdEngine.withDuplicates(chunked))
+      val status = Dedup.flatStatus(tbl, ChunkType.cdcDedupable, 0L)
+      Stats.rollup(Stats.fromStatus(status)).orderBy("file", "metric")
+    }),
+
     // S6: plain no-dedup baseline — REAL fixed-4096 B framing of the byte
     // stream (`net/SpeedupStreamer.java:50-134`): Spark aggregates the
     // actual frame table, while the oracle re-derives the same numbers
@@ -169,6 +181,7 @@ object CawdQueries {
     "c04_orc_naive_dedup_warm" -> flatSql("c04", ChunkType.naiveOrcDedupable, 0L),
     "c08_orc_column_dedup_warm" -> flatSql("c08", ChunkType.columnOrcDedupable, 50L),
     "c05_orc_sp_cascade_warm" -> hierarchicalSql("c05"),
+    "c09_cdc_dedup_warm" -> flatSql("c09", ChunkType.cdcDedupable, 0L),
     "c07_plain_baseline" ->
       s"""SELECT file, bytes AS transfer_bytes,
          |  CAST(ceil(bytes / 4096.0) AS BIGINT) AS frames,
