@@ -321,6 +321,70 @@ object TextQueries {
           expr("concat_ws(',', transform(m, x -> CAST(x AS STRING)))").as("members"))
     }),
 
+    // TF-IDF top terms: per-document top-3 keywords by tf·idf, the
+    // classic relevance signal (and the shape of any per-doc keyword
+    // extraction at scale: one token explode, one df aggregate, one
+    // broadcast-sized join on term, one per-doc window).
+    "d11_tfidf_terms" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH tf AS (
+          |  SELECT doc_id, t, count(*) AS tf
+          |  FROM (SELECT doc_id, explode(split(text, ' ')) AS t FROM documents) x
+          |  GROUP BY doc_id, t),
+          |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |scored AS (
+          |  SELECT doc_id, t,
+          |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+          |  FROM tf JOIN df USING (t) CROSS JOIN n)
+          |SELECT doc_id, rnk, t AS term, tfidf FROM (
+          |  SELECT doc_id, t, tfidf,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY tfidf DESC, t ASC) AS rnk
+          |  FROM scored) r
+          |WHERE rnk <= 3""".stripMargin)
+    }),
+
+    // Repetition scoring (the Gopher/MassiveText quality signal): fraction
+    // of word-bigram occurrences that are repeats of an earlier bigram in
+    // the same doc. Pure narrow per-doc math — no shuffle beyond the
+    // per-doc aggregate.
+    "d12_repetition_score" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH grams AS (
+          |  SELECT doc_id, concat_ws(' ', element_at(w, i), element_at(w, i + 1)) AS g
+          |  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) x
+          |  LATERAL VIEW explode(sequence(1, greatest(size(w) - 1, 1))) t AS i
+          |  WHERE size(w) >= 2)
+          |SELECT doc_id,
+          |  count(*) AS n_bigrams,
+          |  count(DISTINCT g) AS n_distinct,
+          |  round(1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+          |FROM grams GROUP BY doc_id""".stripMargin)
+    }),
+
+    // Quality-quantile filter: keep documents at or above the corpus's
+    // 10th-percentile quality score — the "drop the worst decile" cut a
+    // training pipeline applies after d03. The threshold is ONE aggregated
+    // row (broadcast), not a per-row subquery.
+    "d13_quality_filter" -> ((s, d) => {
+      val nTok = size(toks).cast("double")
+      val nStop = size(expr(
+        "filter(split(text, ' '), x -> x IN ('the','a','of','and','in','to','is'))")).cast("double")
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+      val scored = documents(s, d).select(
+        col("doc_id"),
+        round(least(nTok / 100.0, lit(1.0)) * 0.4 + distinctRatio * 0.3 +
+          (nStop / nTok) * 0.3, 6).as("quality_score"))
+      val thr = scored.agg(
+        round(expr("percentile(quality_score, 0.10)"), 6).as("threshold"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("quality_score") >= col("threshold"))
+        .select(col("doc_id"), col("quality_score"), col("threshold"))
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
@@ -462,6 +526,52 @@ object TextQueries {
          |          JOIN sim sb ON cand.idb = sb.doc_id
          |WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
          |      bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= $HammingRadius""".stripMargin,
+
+    "d11_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, t,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (t) CROSS JOIN n)
+        |SELECT doc_id, rnk, t AS term, tfidf FROM (
+        |  SELECT doc_id, t, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, t ASC) AS rnk
+        |  FROM scored) r
+        |WHERE rnk <= 3""".stripMargin,
+
+    "d12_repetition_score" ->
+      """WITH grams AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x,
+        |       UNNEST(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2)
+        |SELECT doc_id,
+        |  count(*) AS n_bigrams,
+        |  count(DISTINCT g) AS n_distinct,
+        |  round(1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        |FROM grams GROUP BY doc_id""".stripMargin,
+
+    "d13_quality_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.3 + (ns / nt) * 0.3, 6) AS quality_score
+        |  FROM (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) AS ns
+        |  FROM documents) t),
+        |thr AS (SELECT round(quantile_cont(quality_score, 0.10), 6) AS threshold
+        |        FROM scored)
+        |SELECT doc_id, quality_score, threshold
+        |FROM scored CROSS JOIN thr
+        |WHERE quality_score >= threshold""".stripMargin,
 
     "d09_winnow_fingerprints" ->
       """WITH grams AS (

@@ -91,14 +91,15 @@ object VectorQueries {
     * reassignment each round, then [[IvfProbes]]-cell probing and exact
     * rerank. Every join is an equi-join on `i` (dimension) or `cell`.
     */
-  private def ivfSql(spark: Boolean): String = {
-    val explode = if (spark) "explode" else "unnest"
+  /** Shared CTE prefix: trained k-medians cell assignment `a{IvfIterations}`
+    * (see [[ivfSql]] for the training rationale). Reused by the IVF search
+    * (e03) and semantic dedup (e05).
+    */
+  private def ivfAssignCtes(spark: Boolean): String = {
     val medianFn = if (spark) "percentile(x, 0.5)" else "median(x)"
     val elem = if (spark) "element_at(embedding, CAST(i AS INT))" else "embedding[i]"
     val lat = if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
               else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"
-    val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
-                else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
     val iters = (1 to IvfIterations).map { it =>
       s"""c$it AS (
          |  SELECT cell, i, round($medianFn, 6) AS cx
@@ -114,15 +115,21 @@ object VectorQueries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
          |    FROM s$it) t WHERE r = 1),""".stripMargin
     }.mkString("\n")
-    val last = IvfIterations
-    s"""WITH params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings),
+    s"""params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings),
        |flat AS (
        |  SELECT vec_id, i, CAST($elem AS DOUBLE) AS x
        |  FROM embeddings $lat),
        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
        |a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
        |       FROM embeddings),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def ivfSql(spark: Boolean): String = {
+    val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
+                else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+    val last = IvfIterations
+    s"""WITH ${ivfAssignCtes(spark)}
        |probes AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell,
@@ -184,6 +191,32 @@ object VectorQueries {
        |""".stripMargin
   }
 
+  /** SemDeDup threshold: a vector with a within-cell neighbor of smaller
+    * id at cosine ≥ this is dropped (dup_of = that smallest neighbor).
+    */
+  val SemThreshold = 0.4
+
+  private def semanticDedupSql(spark: Boolean): String = {
+    val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
+                else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+    val last = IvfIterations
+    s"""WITH ${ivfAssignCtes(spark)}
+       |pairs AS (
+       |  SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb
+       |  FROM a$last a JOIN a$last b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT cell, ida, idb, round($cosFn, 6) AS cos
+       |  FROM pairs JOIN embeddings ea ON pairs.ida = ea.vec_id
+       |             JOIN embeddings eb ON pairs.idb = eb.vec_id),
+       |dropped AS (
+       |  SELECT idb AS vec_id, min(ida) AS dup_of
+       |  FROM scored WHERE cos >= $SemThreshold GROUP BY idb)
+       |SELECT a.vec_id, a.cell, d.dup_of,
+       |  CAST(d.dup_of IS NULL AS BOOLEAN) AS keep
+       |FROM a$last a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k: the correctness baseline. The query
     // side is broadcast (a small sample of the corpus), so the quadratic
@@ -231,6 +264,19 @@ object VectorQueries {
     "e03_ivf_topk" -> ((s, d) => {
       registerEmbeddings(s, d)
       s.sql(ivfSql(spark = true))
+    }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus,
+    // compare pairs ONLY within a cluster, drop every vector that has a
+    // sufficiently-similar lower-id neighbor in its cell. Reuses e03's
+    // trained k-medians cells: with C = ceil(sqrt(N)) cells the within-cell
+    // quadratic is ~N^1.5 total comparisons corpus-wide (vs N^2 all-pairs),
+    // and each cell's pair generation is an equi-join on `cell` — the same
+    // bounded-bucket shape as d06/e04. At larger corpora C grows with N, so
+    // cell populations (and the per-cell quadratic) stay bounded.
+    "e05_semantic_dedup" -> ((s, d) => {
+      registerEmbeddings(s, d)
+      s.sql(semanticDedupSql(spark = true))
     }),
 
     // Near-duplicate vector pairs: banded sign-LSH candidates + exact
@@ -281,6 +327,8 @@ object VectorQueries {
          |WHERE rank <= $TopK""".stripMargin,
 
     "e03_ivf_topk" -> ivfSql(spark = false),
+
+    "e05_semantic_dedup" -> semanticDedupSql(spark = false),
 
     "e04_cosine_neardup_pairs" ->
       s"""WITH ${bandedLshSql(spark = false)},
