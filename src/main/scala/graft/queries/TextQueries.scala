@@ -294,26 +294,33 @@ object TextQueries {
       val edges = pairs
         .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
         .toDF("src", "dst").cache()
+      // Propagate ONLY over the near-dup subgraph: docs that appear in some
+      // edge. Singletons — the overwhelming majority of any deduped corpus —
+      // skip the loop entirely and re-enter as their own cluster at the end,
+      // so each iteration joins edge-count-sized tables, not the corpus.
       // localCheckpoint truncates lineage each round — the label table stays
-      // a flat scan instead of an ever-deepening join tree
-      var labels = df.select(col("doc_id"), col("doc_id").as("label"))
+      // a flat scan instead of an ever-deepening join tree.
+      val nodes = edges.select(col("src").as("doc_id")).distinct().cache()
+      var labels = nodes.withColumn("label", col("doc_id"))
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val next = labels.as("l")
-          .join(edges, col("l.doc_id") === col("src"), "left")
+          .join(edges, col("l.doc_id") === col("src"))
           .join(labels.select(col("doc_id").as("dst_id"), col("label").as("nl")),
-            col("dst") === col("dst_id"), "left")
+            col("dst") === col("dst_id"))
           .groupBy(col("l.doc_id").as("doc_id"))
-          .agg(least(min(col("l.label")), coalesce(min(col("nl")),
-            min(col("l.label")))).as("label"))
+          .agg(least(min(col("l.label")), min(col("nl"))).as("label"))
           .localCheckpoint(true)
         changed = next.as("n")
           .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
           .filter(col("n.label") =!= col("o.label")).count()
         labels = next
       }
-      labels
+      df.select(col("doc_id"))
+        .join(nodes, Seq("doc_id"), "left_anti")
+        .withColumn("label", col("doc_id"))
+        .unionByName(labels)
         .groupBy(col("label").as("canonical_id"))
         .agg(count(lit(1)).as("cluster_size"),
           sort_array(collect_list(col("doc_id"))).as("m"))
@@ -324,7 +331,8 @@ object TextQueries {
     // TF-IDF top terms: per-document top-3 keywords by tf·idf, the
     // classic relevance signal (and the shape of any per-doc keyword
     // extraction at scale: one token explode, one df aggregate, one
-    // broadcast-sized join on term, one per-doc window).
+    // join on term, one per-doc window). Corpus size N enters as a SCALAR
+    // SUBQUERY — one value computed once — not a cross join.
     "d11_tfidf_terms" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
       s.sql(
@@ -333,11 +341,10 @@ object TextQueries {
           |  FROM (SELECT doc_id, explode(split(text, ' ')) AS t FROM documents) x
           |  GROUP BY doc_id, t),
           |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-          |n AS (SELECT count(*) AS n FROM documents),
           |scored AS (
           |  SELECT doc_id, t,
-          |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
-          |  FROM tf JOIN df USING (t) CROSS JOIN n)
+          |    round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df), 6) AS tfidf
+          |  FROM tf JOIN df USING (t))
           |SELECT doc_id, rnk, t AS term, tfidf FROM (
           |  SELECT doc_id, t, tfidf,
           |    row_number() OVER (PARTITION BY doc_id
@@ -367,22 +374,26 @@ object TextQueries {
 
     // Quality-quantile filter: keep documents at or above the corpus's
     // 10th-percentile quality score — the "drop the worst decile" cut a
-    // training pipeline applies after d03. The threshold is ONE aggregated
-    // row (broadcast), not a per-row subquery.
+    // training pipeline applies after d03. The threshold is a scalar
+    // subquery: computed once, reused for the filter and the output column
+    // (Spark plans a ReusedSubquery, no join of any kind).
     "d13_quality_filter" -> ((s, d) => {
-      val nTok = size(toks).cast("double")
-      val nStop = size(expr(
-        "filter(split(text, ' '), x -> x IN ('the','a','of','and','in','to','is'))")).cast("double")
-      val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
-      val scored = documents(s, d).select(
-        col("doc_id"),
-        round(least(nTok / 100.0, lit(1.0)) * 0.4 + distinctRatio * 0.3 +
-          (nStop / nTok) * 0.3, 6).as("quality_score"))
-      val thr = scored.agg(
-        round(expr("percentile(quality_score, 0.10)"), 6).as("threshold"))
-      scored.crossJoin(broadcast(thr))
-        .filter(col("quality_score") >= col("threshold"))
-        .select(col("doc_id"), col("quality_score"), col("threshold"))
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH scored AS (
+          |  SELECT doc_id,
+          |    round(least(nt / 100.0, 1.0) * 0.4 + (nd / nt) * 0.3 + (ns / nt) * 0.3, 6) AS quality_score
+          |  FROM (SELECT doc_id,
+          |    CAST(size(split(text, ' ')) AS DOUBLE) AS nt,
+          |    CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) AS nd,
+          |    CAST(size(filter(split(text, ' '),
+          |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) AS ns
+          |  FROM documents) t)
+          |SELECT doc_id, quality_score,
+          |  (SELECT round(percentile(quality_score, 0.10), 6) FROM scored) AS threshold
+          |FROM scored
+          |WHERE quality_score >=
+          |  (SELECT round(percentile(quality_score, 0.10), 6) FROM scored)""".stripMargin)
     }),
 
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
@@ -566,12 +577,12 @@ object TextQueries {
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
         |    CAST(len(list_filter(string_split(text, ' '),
         |      x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE) AS ns
-        |  FROM documents) t),
-        |thr AS (SELECT round(quantile_cont(quality_score, 0.10), 6) AS threshold
-        |        FROM scored)
-        |SELECT doc_id, quality_score, threshold
-        |FROM scored CROSS JOIN thr
-        |WHERE quality_score >= threshold""".stripMargin,
+        |  FROM documents) t)
+        |SELECT doc_id, quality_score,
+        |  (SELECT round(quantile_cont(quality_score, 0.10), 6) FROM scored) AS threshold
+        |FROM scored
+        |WHERE quality_score >=
+        |  (SELECT round(quantile_cont(quality_score, 0.10), 6) FROM scored)""".stripMargin,
 
     "d09_winnow_fingerprints" ->
       """WITH grams AS (
