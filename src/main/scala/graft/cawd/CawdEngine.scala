@@ -69,8 +69,20 @@ object CawdEngine {
                  withContent: Boolean = false): Dataset[FileChunk] = {
     import spark.implicits._
     val n = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    chunkFileDs(spark.createDataset(files).repartition(n), fmt, orcMode, withContent)
+  }
+
+  /** [[chunkFiles]] over an already-distributed (path, fileRank) Dataset —
+    * the streaming engine's micro-batch path, where the file list never
+    * lands on the driver.
+    */
+  def chunkFileDs(files: Dataset[(String, Int)], fmt: Format,
+                  orcMode: OrcChunker.Mode = OrcChunker.StripeColumn,
+                  withContent: Boolean = false): Dataset[FileChunk] = {
+    val spark = files.sparkSession
+    import spark.implicits._
     val planned: Dataset[(FileChunk, Int)] =
-      spark.createDataset(files).repartition(n).flatMap { case (path, rank) =>
+      files.flatMap { case (path, rank) =>
         val t0 = System.currentTimeMillis()
         val metas = planFile(path, rank, fmt, orcMode)
         val planMs = System.currentTimeMillis() - t0

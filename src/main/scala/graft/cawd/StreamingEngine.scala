@@ -90,18 +90,25 @@ object StreamingEngine {
                                  batchId: Long, storeDir: String,
                                  statsDir: String, fmt: CawdEngine.Format,
                                  exportDir: Option[String] = None): Unit = {
-    val paths = batch.select("path").collect().map(_.getString(0)).sorted
-    if (paths.isEmpty) return
+    if (batch.isEmpty) return
+    import spark.implicits._
     // ranks are per-batch; earlier batches' chunks are already in the store,
     // so cross-batch ordering is enforced by store membership, not rank.
-    val ranked = paths.zipWithIndex.map { case (p, i) =>
-      (p.stripPrefix("file:"), i)
-    }
+    // The rank window is unpartitioned — one sort of the batch's PATH LIST
+    // (metadata rows the driver's file source already enumerated), while the
+    // paths themselves never collect() onto the driver.
+    val ranked = batch.select(col("path"))
+      .withColumn("fileRank",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("path"))) - 1).cast("int"))
+      .select(regexp_replace(col("path"), "^file:", "").as("path"),
+        col("fileRank"))
+      .as[(String, Int)]
+      .repartition(spark.sparkContext.defaultParallelism)
     // ORC streams dedup with the NAIVE vocabulary, so chunk in Naive mode
     // too — StripeColumn's linked chunks (parentSeq != -1) would silently
     // fall out of flatStatus's top-level filter and the exported table
-    val chunks = CawdEngine.chunkFiles(spark, ranked.toSeq, fmt,
-      orcMode = OrcChunker.Naive)
+    val chunks = CawdEngine.chunkFileDs(ranked, fmt, orcMode = OrcChunker.Naive)
     val dedupable = fmt match {
       case CawdEngine.Parquet => ChunkType.parquetDedupable
       case CawdEngine.Orc     => ChunkType.naiveOrcDedupable
