@@ -55,19 +55,26 @@ object Bench {
   private def trafficParity: String = try {
     val spark = GraftSession.get("graft-bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val rows = SparkEntry.queries("c05_orc_sp_cascade_warm")(spark, sfDir)
-      .filter(org.apache.spark.sql.functions.col("metric")
-        .isin("FileBytes", "TransferBytes", "ExtraTransferBytes"))
-      .select("file", "metric", "value")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-    def pct(keep: String => Boolean): Double = {
-      val fb = rows.collect { case (f, "FileBytes", v) if keep(f) => v }.sum
-      val tx = rows.collect { case (f, m, v) if keep(f) && m != "FileBytes" => v }.sum
-      if (fb > 0) 100.0 * tx / fb else -1.0
+    def pcts(query: String): (Double, Double) = {
+      val rows = SparkEntry.queries(query)(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("metric")
+          .isin("FileBytes", "TransferBytes", "ExtraTransferBytes"))
+        .select("file", "metric", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      def pct(keep: String => Boolean): Double = {
+        val fb = rows.collect { case (f, "FileBytes", v) if keep(f) => v }.sum
+        val tx = rows.collect { case (f, m, v) if keep(f) && m != "FileBytes" => v }.sum
+        if (fb > 0) 100.0 * tx / fb else -1.0
+      }
+      (pct(f => f != "general"), pct(_.endsWith("+copy")))
     }
-    val all = pct(f => f != "general")
-    val warm = pct(_.endsWith("+copy"))
-    f""","traffic_pct_sp":$all%.2f,"traffic_pct_sp_warm":$warm%.2f,"traffic_ref_pct_sp":69.26"""
+    val (spAll, spWarm) = pcts("c05_orc_sp_cascade_warm")
+    // the CDC baseline's ratio on the same warm experiment, for the
+    // structural-vs-content-defined comparison the reference motivates
+    val (cdcAll, cdcWarm) = pcts("c09_cdc_dedup_warm")
+    f""","traffic_pct_sp":$spAll%.2f,"traffic_pct_sp_warm":$spWarm%.2f""" +
+      f""","traffic_pct_cdc":$cdcAll%.2f,"traffic_pct_cdc_warm":$cdcWarm%.2f""" +
+      ""","traffic_ref_pct_sp":69.26"""
   } catch { case e: Throwable => System.err.println(s"[bench] traffic parity: $e"); "" }
 }

@@ -36,6 +36,28 @@ object MediaQueries {
     "m04_frame_sample" -> ((s, d) =>
       Media.sampleFrames(Media.mediaTable(s, documents(s, d)), stride = 2).toDF()),
 
+    // Modality rebalancing: deterministically down-sample every modality
+    // to the size of the SMALLEST one (the stratified-balance step a
+    // multimodal training mix ends with). Selection is by md5 order, so
+    // the "random" sample is reproducible in both engines. The per-modality
+    // row_number is exact-K selection for verifiability; at corpus scale
+    // the same contract is served shuffle-free by hash-THRESHOLD sampling
+    // (keep rows with h below the target quantile), trading exact K for a
+    // binomial-tight approximation.
+    "m05_modality_balance" -> ((s, d) => {
+      Media.mediaTable(s, documents(s, d)).toDF()
+        .withColumn("h", md5(col("content")))
+        .createOrReplaceTempView("media")
+      s.sql(
+        """WITH ranked AS (
+          |  SELECT media_id, modality, h,
+          |    row_number() OVER (PARTITION BY modality ORDER BY h, media_id) AS samp_rank
+          |  FROM media)
+          |SELECT media_id, modality, samp_rank FROM ranked
+          |WHERE samp_rank <=
+          |  (SELECT min(n) FROM (SELECT count(*) AS n FROM media GROUP BY modality) t)""".stripMargin)
+    }),
+
     // Downstream rollup: modality-level corpus statistics.
     "m03_modality_rollup" -> ((s, d) => {
       features(s, d).groupBy(col("modality")).agg(
@@ -83,6 +105,20 @@ object MediaQueries {
          |  round(avg(width), 6) AS avg_width, round(avg(height), 6) AS avg_height,
          |  CAST(sum(n_frames) AS BIGINT) AS total_frames
          |FROM feat GROUP BY modality""".stripMargin,
+
+    "m05_modality_balance" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    md5(text) AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT media_id, modality, h,
+        |    row_number() OVER (PARTITION BY modality ORDER BY h, media_id) AS samp_rank
+        |  FROM media)
+        |SELECT media_id, modality, samp_rank FROM ranked
+        |WHERE samp_rank <=
+        |  (SELECT min(n) FROM (SELECT count(*) AS n FROM media GROUP BY modality) t)""".stripMargin,
 
     "m04_frame_sample" ->
       """WITH vids AS (
