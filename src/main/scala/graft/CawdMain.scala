@@ -13,16 +13,17 @@ import graft.cawd._
   * Usage:
   *   runMain graft.CawdMain <mode> <inputDir> [destDir] [--duplicate]
   *
-  *   mode ∈ plain | orc-naive | orc-column | orc-sp | parquet
+  *   mode ∈ plain | orc-naive | orc-column | orc-sp | parquet | cdc
   *   --duplicate re-sends every file as a byte-identical copy (the
-  *   README's warm-store experiment).
+  *   README's warm-store experiment). `cdc` is the content-defined
+  *   chunking baseline ([[graft.cawd.CdcChunker]]) over any file type.
   */
 object CawdMain {
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
     if (pos.length < 2) {
       System.err.println(
-        "usage: CawdMain <plain|orc-naive|orc-column|orc-sp|parquet> <inputDir> [destDir] [--duplicate]")
+        "usage: CawdMain <plain|orc-naive|orc-column|orc-sp|parquet|cdc> <inputDir> [destDir] [--duplicate]")
       sys.exit(2)
     }
     val mode = pos(0)
@@ -53,6 +54,11 @@ object CawdMain {
         CawdEngine.hierarchicalDedupStats(spark, inDir, duplicate)
       case "parquet" =>
         CawdEngine.flatDedupStats(spark, inDir, CawdEngine.Parquet, duplicate)
+      case "cdc" =>
+        val base = CdcChunker.chunkFiles(spark, CawdEngine.listFiles(inDir, ""))
+        val chunks = if (duplicate) CawdEngine.withDuplicates(base) else base
+        Stats.rollup(Stats.fromStatus(
+          Dedup.flatStatus(chunks.toDF(), ChunkType.cdcDedupable)))
       case other =>
         System.err.println(s"unknown mode '$other'"); sys.exit(2); null
     }
@@ -65,6 +71,9 @@ object CawdMain {
       val chunks = mode match {
         case "plain" =>
           CawdEngine.plainFrames(spark, CawdEngine.listFiles(inDir, ""),
+            withContent = true)
+        case "cdc" =>
+          CdcChunker.chunkFiles(spark, CawdEngine.listFiles(inDir, ""),
             withContent = true)
         case _ =>
           val (fmt, suffix, orcMode) = mode match {

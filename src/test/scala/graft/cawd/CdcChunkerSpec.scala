@@ -86,6 +86,14 @@ class CdcChunkerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats("TransferBytes") == 0.0)
   }
 
+  test("content mode reconstructs the file byte-identically") {
+    val check = CawdEngine.reconstructionCheck(
+      CdcChunker.chunkFiles(spark, Seq((path, 0)), withContent = true))
+      .collect()
+    assert(check.length == 1)
+    assert(check.head.getBoolean(3), "CDC chunk concatenation == original bytes")
+  }
+
   test("chunking is deterministic across runs") {
     def sigs() = CdcChunker.chunkFiles(spark, Seq((path, 0))).collect()
       .sortBy(_.seq).map(c => c.start -> c.signature.toSeq).toSeq
