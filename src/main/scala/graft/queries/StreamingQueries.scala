@@ -20,6 +20,13 @@ import graft.cawd.{CawdEngine, CawdExport, ChunkType, StreamingEngine}
   */
 object StreamingQueries {
 
+  /** Running per-event-type totals carried across micro-batches by
+    * [[org.apache.spark.sql.KeyValueGroupedDataset.mapGroupsWithState]]
+    * (s03). Sums accumulate as Long micros so the value is independent of
+    * row order within a group (double addition is not).
+    */
+  case class TypeState(n: Long, micros: Long)
+
   private def copyInto(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
                        srcs: Seq[String], destDir: Path, prefix: String): Unit =
     srcs.foreach { s =>
@@ -60,6 +67,51 @@ object StreamingQueries {
       out
     }),
 
+    // Custom streaming state (SURVEY.md §2.8): running per-key totals via
+    // mapGroupsWithState — the API a pipeline reaches for when windows/aggs
+    // can't express its state machine. With AvailableNow the final state
+    // equals the batch aggregation, so the stateful path gets a value-level
+    // oracle; the update-mode memory sink may hold one row per key per
+    // batch, and the max-(n) row per key is the final state (counts are
+    // monotone).
+    "s03_stateful_running_totals" -> ((s, d) => {
+      import s.implicits._
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$d/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val typed = graft.Tables.fixEventTs(stream)
+        .select(col("event_type"),
+          round(col("value") * 1e6, 0).cast("long").as("micros"))
+        .as[(String, Long)]
+      val name = s"s03_${UUID.randomUUID().toString.replace("-", "")}"
+      val q = typed.groupByKey(_._1)
+        .mapGroupsWithState[TypeState, (String, Long, Double)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+          (key: String, it: Iterator[(String, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[TypeState]) =>
+            var st = state.getOption.getOrElse(TypeState(0L, 0L))
+            it.foreach(r => st = TypeState(st.n + 1, st.micros + r._2))
+            state.update(st)
+            (key, st.n, st.micros / 1e6)
+        }
+        .toDF("event_type", "n", "sum_value")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(name)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n"), col("sum_value"))).as("st"))
+        .select(col("event_type"), col("st.n").as("n"),
+          round(col("st.sum_value"), 6).as("sum_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    }),
+
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
       val root = new Path(s"${sys.props("java.io.tmpdir")}/graft-stream/${UUID.randomUUID()}")
@@ -95,6 +147,12 @@ object StreamingQueries {
       ChunkType.parquetDedupable, 0L,
       keyExpr = "(batchId * 4194304 + fileRank) * 4294967296 + seq",
       glob = Some(s"${CawdExport.Root}/sf0.01/s01/batch=*/*.parquet")),
+
+    // final mapGroupsWithState state == batch per-key aggregation
+    "s03_stateful_running_totals" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // complete-mode streaming window == batch tumbling-window aggregation
     "s02_streaming_window" ->

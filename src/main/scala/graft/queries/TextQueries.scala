@@ -55,6 +55,18 @@ object TextQueries {
   val MinHashR = 3
   val JaccardThreshold = 0.8
 
+  /** KMV sketch size (k smallest hash values kept per group). */
+  val KmvK = 64
+
+  /** fraction(h) ∈ (0,1): the first 8 hex nibbles of `h` as a base-16
+    * fraction, spelled with the SAME arithmetic in Spark and DuckDB so the
+    * doubles are bit-identical. `strposFn` = instr (Spark) / strpos (DuckDB).
+    */
+  private def hexFractionSql(col: String, strposFn: String): String =
+    (1 to 8).map { i =>
+      s"($strposFn('0123456789abcdef', substr($col, $i, 1)) - 1) / ${math.pow(16.0, i)}"
+    }.mkString("(", " + ", ")")
+
   /** SimHash: 64-bit fingerprint from per-token md5 bits, tf-weighted;
     * emitted as 4 × 16-bit band ints so band-joins and XOR popcount need no
     * hex decoding. Hamming radius 6 ⇒ one of 4 bands must match exactly.
@@ -396,6 +408,34 @@ object TextQueries {
           |  (SELECT round(percentile(quality_score, 0.10), 6) FROM scored)""".stripMargin)
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch: per-language shingle
+    // cardinality (the number that sizes a MinHash-LSH run) estimated from
+    // the k smallest md5(shingle) values — est = (k-1) / fraction(kth_min).
+    // Unlike HLL (whose register layout is engine-private), KMV over md5 is
+    // BIT-DETERMINISTIC, so the approximate answer itself gets a
+    // value-level oracle; the exact distinct count rides along to show the
+    // estimation error (~1/√k). Sketch building is one distinct-aggregate
+    // then a per-group top-k — mergeable across partitions, the standard
+    // sketch shape.
+    "d14_vocab_kmv_sketch" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        s"""WITH sh AS (
+           |  SELECT DISTINCT lang, md5(s) AS h
+           |  FROM (SELECT lang, explode($shingleExpr) AS s
+           |        FROM (SELECT lang, split(text, ' ') AS w FROM documents) ww) x),
+           |ranked AS (
+           |  SELECT lang, h,
+           |    row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+           |    count(*) OVER (PARTITION BY lang) AS exact_distinct
+           |  FROM sh),
+           |kth AS (SELECT lang, h AS kth_h, exact_distinct FROM ranked WHERE r = $KmvK)
+           |SELECT lang, exact_distinct,
+           |  CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "instr")}, 0)
+           |    AS BIGINT) AS kmv_estimate
+           |FROM kth""".stripMargin)
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
@@ -583,6 +623,21 @@ object TextQueries {
         |FROM scored
         |WHERE quality_score >=
         |  (SELECT round(quantile_cont(quality_score, 0.10), 6) FROM scored)""".stripMargin,
+
+    "d14_vocab_kmv_sketch" ->
+      s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT lang, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+         |       FROM toks, UNNEST(range(1, len(w)-1)) AS g(i)),
+         |ranked AS (
+         |  SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
+         |    count(*) OVER (PARTITION BY lang) AS exact_distinct
+         |  FROM sh),
+         |kth AS (SELECT lang, h AS kth_h, exact_distinct FROM ranked WHERE r = $KmvK)
+         |SELECT lang, exact_distinct,
+         |  CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "strpos")}, 0)
+         |    AS BIGINT) AS kmv_estimate
+         |FROM kth""".stripMargin,
 
     "d09_winnow_fingerprints" ->
       """WITH grams AS (
