@@ -130,6 +130,12 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
         assertContiguous(chunks, fileLen(p))
         val check = CawdEngine.reconstructionCheck(spark.createDataset(chunks)).collect()
         assert(check.head.getBoolean(3), s"orc $name/$mode not byte-identical")
+        // the small-stripe variant must actually exercise MULTI-STRIPE
+        // layout (a silently-ignored writer option would collapse this
+        // case back to the single-stripe shape every other test covers)
+        if (name == "zlib-small-stripes" && mode == OrcChunker.Naive)
+          assert(chunks.count(_.chunkType == ChunkType.StripeData) > 1,
+            "expected multiple stripes from orc.stripe.size=65536")
       }
     }
 
@@ -147,6 +153,11 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
       assertContiguous(chunks, fileLen(p))
       val check = CawdEngine.reconstructionCheck(spark.createDataset(chunks)).collect()
       assert(check.head.getBoolean(3), s"parquet $name not byte-identical")
+      // the small-block variant must actually produce multiple row groups
+      // (4 columns => >4 data-page runs only when block.size bites)
+      if (name == "gzip-small-pages")
+        assert(chunks.count(_.chunkType == ChunkType.PageHeader) > 8,
+          "expected multiple row groups / pages from parquet.block.size=131072")
     }
   }
 
