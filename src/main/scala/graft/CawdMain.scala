@@ -11,12 +11,16 @@ import graft.cawd._
   * reconstructed files (the server's output directory).
   *
   * Usage:
-  *   runMain graft.CawdMain <mode> <inputDir> [destDir] [--duplicate]
+  *   runMain graft.CawdMain <mode> <inputDir> [destDir] [--duplicate] [--store=DIR]
   *
   *   mode ∈ plain | orc-naive | orc-column | orc-sp | parquet | cdc
   *   --duplicate re-sends every file as a byte-identical copy (the
   *   README's warm-store experiment). `cdc` is the content-defined
   *   chunking baseline ([[graft.cawd.CdcChunker]]) over any file type.
+  *   --store=DIR makes the run INCREMENTAL (flat modes): chunks probe the
+  *   persisted signature store at DIR first, and this run's misses are
+  *   appended under a new batch partition — the reference's long-lived
+  *   server store, as successive CLI invocations.
   */
 object CawdMain {
   def main(args: Array[String]): Unit = {
@@ -30,9 +34,49 @@ object CawdMain {
     val inDir = pos(1)
     val dest = pos.lift(2)
     val duplicate = args.contains("--duplicate")
+    val storeDir = args.collectFirst { case a if a.startsWith("--store=") =>
+      a.stripPrefix("--store=") }
     val spark = GraftSession.get(s"graft-cawd-$mode")
 
-    val stats = mode match {
+    /** Incremental flat dedup against the persisted store: probe existing
+      * batch partitions, then append this run's first occurrences under the
+      * next batch id (same layout as [[StreamingEngine]], so the CLI and
+      * the streaming engine can share one store).
+      */
+    def flatWithStore(dir: String, dedupable: Set[String], threshold: Long,
+                      chunker: => org.apache.spark.sql.Dataset[FileChunk]) = {
+      val base = chunker
+      val chunks = (if (duplicate) CawdEngine.withDuplicates(base) else base).cache()
+      val store = StreamingEngine.readStore(spark, dir)
+      val nextBatch = StreamingEngine.nextBatchId(spark, dir)
+      val status = Dedup.flatStatus(chunks.toDF(), dedupable, threshold, store)
+        .cache()
+      status.filter(col("status") === "miss")
+        .select(col("signature"), col("chunkType"), col("size"))
+        .write.mode("overwrite").parquet(s"$dir/batch=$nextBatch")
+      Stats.rollup(Stats.fromStatus(status)
+        .unionByName(CawdEngine.timingStats(chunks)))
+    }
+
+    val stats = (mode, storeDir) match {
+      case ("orc-naive", Some(sd)) =>
+        flatWithStore(sd, ChunkType.naiveOrcDedupable, 0L,
+          CawdEngine.chunkFiles(spark, CawdEngine.listFiles(inDir, ".orc"),
+            CawdEngine.Orc, OrcChunker.Naive))
+      case ("orc-column", Some(sd)) =>
+        flatWithStore(sd, ChunkType.columnOrcDedupable, 50L,
+          CawdEngine.chunkFiles(spark, CawdEngine.listFiles(inDir, ".orc"),
+            CawdEngine.Orc, OrcChunker.ColumnBased))
+      case ("parquet", Some(sd)) =>
+        flatWithStore(sd, ChunkType.parquetDedupable, 0L,
+          CawdEngine.chunkFiles(spark, CawdEngine.listFiles(inDir, ".parquet"),
+            CawdEngine.Parquet))
+      case ("cdc", Some(sd)) =>
+        flatWithStore(sd, ChunkType.cdcDedupable, 0L,
+          CdcChunker.chunkFiles(spark, CawdEngine.listFiles(inDir, "")))
+      case (m, Some(_)) =>
+        System.err.println(s"--store is not supported for mode '$m'"); sys.exit(2); null
+      case (_, None) => mode match {
       case "plain" =>
         val perFile = CawdEngine.plainFrames(spark,
           CawdEngine.listFiles(inDir, "")).toDF()
@@ -61,6 +105,7 @@ object CawdMain {
           Dedup.flatStatus(chunks.toDF(), ChunkType.cdcDedupable)))
       case other =>
         System.err.println(s"unknown mode '$other'"); sys.exit(2); null
+      }
     }
     stats.orderBy("file", "metric").show(10000, truncate = false)
 

@@ -53,6 +53,19 @@ object StreamingEngine {
     Some(beforeBatch.fold(all)(b => all.filter(col("batch") < b)))
   }
 
+  /** Next free batch id in a store directory (max existing + 1; 0 for an
+    * empty/new store). Used by batch-mode incremental runs (CawdMain
+    * `--store`) appending to the same layout the streaming engine owns.
+    */
+  def nextBatchId(spark: SparkSession, storeDir: String): Long = {
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+      .foldLeft(-1L)(math.max) + 1
+  }
+
   /** Start the streaming dedup: watch `inDir` for new `suffix` files, fold
     * each micro-batch through the chunk store at `storeDir`, write per-file
     * metric rows under `statsDir`, and (optionally) the per-batch
