@@ -66,6 +66,33 @@ object StreamingEngine {
       .foldLeft(-1L)(math.max) + 1
   }
 
+  /** Compact the store's batch partitions into one (the retention op the
+    * reference never needed because its store lived on one heap): distinct
+    * signatures from all partitions are rewritten under the CURRENT max
+    * batch id and older partitions are dropped. Probe semantics are
+    * preserved — every surviving signature is "earlier" than any future
+    * batch — while the partition count (and per-probe file listing) stops
+    * growing with stream age. Call between triggers; a retried batch after
+    * compaction still overwrites only its own (later) partition.
+    */
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) return
+    val batches = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    if (batches.length <= 1) return
+    val maxId = batches.max
+    val merged = spark.read.option("basePath", storeDir).parquet(storeDir)
+      .select(StoreCols.map(col): _*)
+      .dropDuplicates("signature")
+      .localCheckpoint(true) // sever lineage from the files about to vanish
+    merged.write.mode("overwrite").parquet(s"$storeDir/batch=$maxId")
+    batches.filter(_ != maxId).foreach { b =>
+      fs.delete(new Path(p, s"batch=$b"), true)
+    }
+  }
+
   /** Start the streaming dedup: watch `inDir` for new `suffix` files, fold
     * each micro-batch through the chunk store at `storeDir`, write per-file
     * metric rows under `statsDir`, and (optionally) the per-batch

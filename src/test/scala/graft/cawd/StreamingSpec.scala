@@ -66,6 +66,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(stats).collect().map(_.toString).sorted
       .sameElements(statsBefore), "stats double-counted on batch retry")
     assert(storeSnapshot().sameElements(storeBefore), "store changed on batch retry")
+
+    // compaction: one partition left, same signature set, next batch id
+    // still advances, and a post-compaction wave still fully dedups
+    val sigsBefore = spark.read.parquet(store)
+      .select(hex(col("signature"))).collect().map(_.getString(0)).sorted
+    StreamingEngine.compactStore(spark, store)
+    val partsAfter = new java.io.File(store).listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(partsAfter == 1, "compaction leaves one batch partition")
+    val sigsAfter = spark.read.parquet(store)
+      .select(hex(col("signature"))).collect().map(_.getString(0)).sorted
+    assert(sigsAfter.sameElements(sigsBefore), "compaction preserves signatures")
+    assert(StreamingEngine.nextBatchId(spark, store) == lastBatch + 1)
+    java.nio.file.Files.copy(src.toPath, new java.io.File(inDir, "c.parquet").toPath)
+    StreamingEngine.start(spark, inDir, store, stats, ".parquet",
+      CawdEngine.Parquet, ckpt).awaitTermination()
+    val cDedup = spark.read.parquet(stats)
+      .filter(col("metric") === "DedupBytes" && col("file").endsWith("c.parquet"))
+      .select("value").head().getDouble(0)
+    assert(cDedup > 0.0, "post-compaction wave must still dedup against the store")
     spark.stop()
   }
 }
