@@ -436,6 +436,32 @@ object TextQueries {
            |FROM kth""".stripMargin)
     }),
 
+    // Decontamination (benchmark-overlap detection): flag every training
+    // doc sharing at least one 5-token shingle with the held-out source
+    // ('src0' plays the benchmark set). The standard n-gram-collision
+    // hygiene step before training; shape = distinct-shingle inverted
+    // index semi-joined against the benchmark shingle set — candidate work
+    // scales with collisions, never doc-pairs.
+    "d15_decontamination" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH toks AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, source, s FROM (
+          |    SELECT doc_id, source,
+          |      explode(CASE WHEN size(w) >= 5 THEN
+          |        transform(sequence(1, size(w) - 4), i -> concat_ws(' ',
+          |          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+          |          element_at(w, i + 3), element_at(w, i + 4)))
+          |      ELSE array() END) AS s
+          |    FROM toks) x),
+          |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+          |SELECT doc_id, source, count(*) AS n_shared_shingles
+          |FROM sh JOIN bench USING (s)
+          |WHERE source <> 'src0'
+          |GROUP BY doc_id, source""".stripMargin)
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
@@ -638,6 +664,17 @@ object TextQueries {
          |  CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "strpos")}, 0)
          |    AS BIGINT) AS kmv_estimate
          |FROM kth""".stripMargin,
+
+    "d15_decontamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |       FROM toks, UNNEST(range(1, len(w)-3)) AS g(i)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT doc_id, source, count(*) AS n_shared_shingles
+        |FROM sh JOIN bench USING (s)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id, source""".stripMargin,
 
     "d09_winnow_fingerprints" ->
       """WITH grams AS (
