@@ -161,6 +161,44 @@ object RelationalQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(dec(col("value"), "decimal(18,6)")).cast("double").as("sum_value"))
+    }),
+
+    // Gap-based sessionization: a >30-min silence starts a new session for
+    // the user. lag + conditional running sum — one shuffle on user_id;
+    // session arithmetic stays in exact epoch MICROS (longs), so both
+    // engines bucket identically.
+    "q12_sessionization" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """WITH e AS (
+          |  SELECT user_id, unix_micros(ts) AS us FROM events),
+          |marked AS (
+          |  SELECT user_id, us,
+          |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+          |           > 1800000000 OR
+          |         lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+          |      THEN 1 ELSE 0 END AS new_session
+          |  FROM e),
+          |sessions AS (
+          |  SELECT user_id, us,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+          |      ROWS UNBOUNDED PRECEDING) AS session_no
+          |  FROM marked)
+          |SELECT user_id, session_no, count(*) AS n_events,
+          |  min(us) AS start_us, max(us) - min(us) AS duration_us
+          |FROM sessions GROUP BY user_id, session_no""".stripMargin)
+    }),
+
+    // Semi-structured props extraction: pull the numeric payload out of the
+    // JSON props string with a regexp (dialect-neutral) and roll it up —
+    // the event-enrichment shape where the extraction must stay inside
+    // codegen rather than a per-row UDF.
+    "q13_props_extract" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
     })
   )
 
@@ -239,6 +277,30 @@ object RelationalQueries {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q12_sessionization" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |marked AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           > 1800000000 OR
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM marked)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) - min(us) AS duration_us
+        |FROM sessions GROUP BY user_id, session_no""".stripMargin,
+
+    "q13_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -462,6 +462,25 @@ object TextQueries {
           |GROUP BY doc_id, source""".stripMargin)
     }),
 
+    // Sequence packing: each doc explodes into fixed 32-token windows with
+    // stride 24 (8-token overlap) — the chunking step that turns documents
+    // into training sequences. Pure per-doc explode + narrow projection; the
+    // window hash makes every packed sequence value-checkable.
+    "d16_sequence_packing" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+          |wins AS (
+          |  SELECT doc_id, i,
+          |    concat_ws(' ', slice(w, CAST(i AS INT), 32)) AS chunk_text,
+          |    size(slice(w, CAST(i AS INT), 32)) AS n_tokens
+          |  FROM toks
+          |  LATERAL VIEW explode(sequence(1, size(w), 24)) t AS i)
+          |SELECT doc_id, CAST((i - 1) / 24 AS INT) AS chunk_idx, n_tokens,
+          |       md5(chunk_text) AS chunk_hash
+          |FROM wins""".stripMargin)
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
@@ -675,6 +694,17 @@ object TextQueries {
         |FROM sh JOIN bench USING (s)
         |WHERE source <> 'src0'
         |GROUP BY doc_id, source""".stripMargin,
+
+    "d16_sequence_packing" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(w[i:i+31], ' ') AS chunk_text,
+        |    len(w[i:i+31]) AS n_tokens
+        |  FROM toks, UNNEST(range(1, len(w) + 1, 24)) AS t(i))
+        |SELECT doc_id, CAST((i - 1) // 24 AS INT) AS chunk_idx, n_tokens,
+        |       md5(chunk_text) AS chunk_hash
+        |FROM wins""".stripMargin,
 
     "d09_winnow_fingerprints" ->
       """WITH grams AS (
