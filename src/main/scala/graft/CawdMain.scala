@@ -38,24 +38,11 @@ object CawdMain {
       a.stripPrefix("--store=") }
     val spark = GraftSession.get(s"graft-cawd-$mode")
 
-    /** Incremental flat dedup against the persisted store: probe existing
-      * batch partitions, then append this run's first occurrences under the
-      * next batch id (same layout as [[StreamingEngine]], so the CLI and
-      * the streaming engine can share one store).
-      */
     def flatWithStore(dir: String, dedupable: Set[String], threshold: Long,
                       chunker: => org.apache.spark.sql.Dataset[FileChunk]) = {
       val base = chunker
-      val chunks = (if (duplicate) CawdEngine.withDuplicates(base) else base).cache()
-      val store = StreamingEngine.readStore(spark, dir)
-      val nextBatch = StreamingEngine.nextBatchId(spark, dir)
-      val status = Dedup.flatStatus(chunks.toDF(), dedupable, threshold, store)
-        .cache()
-      status.filter(col("status") === "miss")
-        .select(col("signature"), col("chunkType"), col("size"))
-        .write.mode("overwrite").parquet(s"$dir/batch=$nextBatch")
-      Stats.rollup(Stats.fromStatus(status)
-        .unionByName(CawdEngine.timingStats(chunks)))
+      val chunks = if (duplicate) CawdEngine.withDuplicates(base) else base
+      CawdEngine.incrementalFlatDedup(spark, dir, chunks, dedupable, threshold)
     }
 
     val stats = (mode, storeDir) match {

@@ -201,6 +201,27 @@ object CawdEngine {
       .unionByName(timingStats(chunks)))
   }
 
+  /** Incremental flat dedup against a persisted signature store (the
+    * reference's long-lived server store as a batch API): probe the
+    * existing batch partitions at `storeDir`, append this run's first
+    * occurrences under the next batch id, and return the stats rollup.
+    * Shares the store layout with [[StreamingEngine]], so CLI runs,
+    * library calls, and the streaming engine can grow one store.
+    */
+  def incrementalFlatDedup(spark: SparkSession, storeDir: String,
+                           chunks: Dataset[FileChunk], dedupable: Set[String],
+                           smallThreshold: Long = 0L): DataFrame = {
+    val cached = chunks.cache()
+    val store = StreamingEngine.readStore(spark, storeDir)
+    val nextBatch = StreamingEngine.nextBatchId(spark, storeDir)
+    val status = Dedup.flatStatus(cached.toDF(), dedupable, smallThreshold, store)
+      .cache()
+    status.filter(col("status") === "miss")
+      .select(col("signature"), col("chunkType"), col("size"))
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$nextBatch")
+    Stats.rollup(Stats.fromStatus(status).unionByName(timingStats(cached)))
+  }
+
   /** S6: plain no-dedup baseline — fixed-size framing of the raw byte
     * stream (`net/SpeedupStreamer.java:50-134`, bufferSize default 4096).
     * A genuine content path: every frame's bytes are read and hashed (and

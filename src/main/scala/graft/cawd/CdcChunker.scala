@@ -95,7 +95,8 @@ object CdcChunker {
     * (always ending with `fileLen`).
     */
   private[cawd] def selectCuts(candidates: Seq[Long], fileLen: Long): Seq[Long] = {
-    val sorted = candidates.distinct.sorted
+    // primitive array path: no boxing on the ~size/2KB candidate list
+    val sorted = candidates.toArray.distinct.sorted
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
     var last = 0L
     var i = 0
@@ -142,14 +143,18 @@ object CdcChunker {
         sentinel ++ cuts
       }
     // Stage 2 groups ~one Long per ~2 KB of file data per file — metadata
-    // only; the heavy byte work stays in stages 1 and 3.
+    // only; the heavy byte work stays in stages 1 and 3. Candidates buffer
+    // as PRIMITIVE longs (a 10 GB file is ~5M candidates = ~40 MB), never
+    // as row tuples.
     val metas = candidates
       .groupByKey { case (path, _, _, _) => path }
       .flatMapGroups { (path, it) =>
-        val rows = it.toArray
-        val (_, rank, len, _) = rows.head
-        val cand = rows.iterator.map(_._4).filter(_ >= 0).toSeq
-        cutsToMetas(path, rank, len, selectCuts(cand, len)).iterator
+        val first = it.next()
+        val (_, rank, len, c0) = first
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        if (c0 >= 0) buf += c0
+        it.foreach { r => if (r._4 >= 0) buf += r._4 }
+        cutsToMetas(path, rank, len, selectCuts(buf.toSeq, len)).iterator
       }
     // Stage 3: bucketed streaming hash, one task per ~SplitBytes of content.
     // A chunk is bucketed by its start; RegionHash reads each group's exact

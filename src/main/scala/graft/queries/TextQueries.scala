@@ -313,16 +313,25 @@ object TextQueries {
       // localCheckpoint truncates lineage each round — the label table stays
       // a flat scan instead of an ever-deepening join tree.
       val nodes = edges.select(col("src").as("doc_id")).distinct().cache()
-      var labels = nodes.withColumn("label", col("doc_id"))
+      // size the iteration partitioning to the SUBGRAPH (tiny after
+      // near-dup filtering), not the session default — each propagation
+      // round becomes a handful of tasks instead of 32-partition jobs over
+      // near-empty partitions
+      val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nodes.count() / 5000L).toInt + 1))
+      val partEdges = edges.repartition(parts, col("src")).cache()
+      var labels = nodes.repartition(parts, col("doc_id"))
+        .withColumn("label", col("doc_id"))
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val next = labels.as("l")
-          .join(edges, col("l.doc_id") === col("src"))
+          .join(partEdges, col("l.doc_id") === col("src"))
           .join(labels.select(col("doc_id").as("dst_id"), col("label").as("nl")),
             col("dst") === col("dst_id"))
           .groupBy(col("l.doc_id").as("doc_id"))
           .agg(least(min(col("l.label")), min(col("nl"))).as("label"))
+          .repartition(parts, col("doc_id"))
           .localCheckpoint(true)
         changed = next.as("n")
           .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))

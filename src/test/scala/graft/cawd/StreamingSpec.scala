@@ -86,6 +86,20 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("metric") === "DedupBytes" && col("file").endsWith("c.parquet"))
       .select("value").head().getDouble(0)
     assert(cDedup > 0.0, "post-compaction wave must still dedup against the store")
+
+    // batch-mode incremental API shares the same store: a CLI-style run
+    // over the same file must dedup everything dedupable and append only
+    // an (empty-miss) next batch partition
+    val before = StreamingEngine.nextBatchId(spark, store)
+    val batchStats = CawdEngine.incrementalFlatDedup(spark, store,
+      CawdEngine.chunkFiles(spark, Seq((s"$inDir/c.parquet", 0)), CawdEngine.Parquet,
+        OrcChunker.Naive),
+      ChunkType.parquetDedupable)
+    val dd = batchStats
+      .filter(col("metric") === "DedupBytes" && col("file") =!= "general")
+      .select("value").head().getDouble(0)
+    assert(dd > 0.0, "incremental batch run dedups against the shared store")
+    assert(StreamingEngine.nextBatchId(spark, store) == before + 1)
     spark.stop()
   }
 }
