@@ -202,24 +202,36 @@ object CawdEngine {
   }
 
   /** Incremental flat dedup against a persisted signature store (the
-    * reference's long-lived server store as a batch API): probe the
+    * reference's long-lived server store as a batch API): probe ALL
     * existing batch partitions at `storeDir`, append this run's first
-    * occurrences under the next batch id, and return the stats rollup.
-    * Shares the store layout with [[StreamingEngine]], so CLI runs,
-    * library calls, and the streaming engine can grow one store.
+    * occurrences under the next NEGATIVE batch id, and return the stats
+    * rollup.
+    *
+    * Batch-mode partitions descend from -1 while the streaming engine's
+    * ascend from 0 (checkpoint-derived), so the two id sequences can never
+    * collide — a resumed stream retrying micro-batch N overwrites only
+    * `batch=N`, and its probe (`batch < N`) always includes every
+    * batch-mode partition. One store can therefore be grown by CLI runs,
+    * library calls, and the streaming engine interchangeably.
     */
   def incrementalFlatDedup(spark: SparkSession, storeDir: String,
                            chunks: Dataset[FileChunk], dedupable: Set[String],
                            smallThreshold: Long = 0L): DataFrame = {
     val cached = chunks.cache()
-    val store = StreamingEngine.readStore(spark, storeDir)
-    val nextBatch = StreamingEngine.nextBatchId(spark, storeDir)
-    val status = Dedup.flatStatus(cached.toDF(), dedupable, smallThreshold, store)
-      .cache()
-    status.filter(col("status") === "miss")
-      .select(col("signature"), col("chunkType"), col("size"))
-      .write.mode("overwrite").parquet(s"$storeDir/batch=$nextBatch")
-    Stats.rollup(Stats.fromStatus(status).unionByName(timingStats(cached)))
+    val status = Dedup.flatStatus(cached.toDF(), dedupable, smallThreshold,
+      store = StreamingEngine.readStore(spark, storeDir)).cache()
+    try {
+      status.filter(col("status") === "miss")
+        .select(col("signature"), col("chunkType"), col("size"))
+        .write.mode("overwrite")
+        .parquet(s"$storeDir/batch=${StreamingEngine.nextCliBatchId(spark, storeDir)}")
+      // rollup materializes before the caches are released
+      Stats.rollup(Stats.fromStatus(status).unionByName(timingStats(cached)))
+        .localCheckpoint(true)
+    } finally {
+      status.unpersist()
+      cached.unpersist()
+    }
   }
 
   /** S6: plain no-dedup baseline — fixed-size framing of the raw byte

@@ -36,7 +36,20 @@ object CdcChunker {
   val MinSize = 2048L
   val AvgSize = 8192L
   val MaxSize = 65536L
-  private val AvgMask = AvgSize - 1 // low-bits mask: P(candidate) = 1/Avg
+
+  /** Candidate mask: log2(Avg) = 13 one-bits SPREAD OVER THE HIGH HALF of
+    * the hash, giving P(candidate) = 1/Avg. High bits are essential: in
+    * `h = (h << 1) + gear(b)` a byte of age `a` contributes `gear << a`,
+    * so bit 63 mixes contributions from the full 64-byte window while bit
+    * 12 sees only the last 13 bytes — a low-bits mask (the naive
+    * `Avg - 1`) would collapse boundary quality to a 13-byte rolling hash
+    * on repetitive data. Same reasoning as FastCDC's published spread
+    * masks; bit positions here are fixed and documented rather than
+    * borrowed.
+    */
+  private val AvgMask: Long =
+    Seq(63, 61, 58, 54, 51, 47, 44, 40, 36, 33, 29, 25, 21)
+      .map(1L << _).reduce(_ | _)
 
   /** Rolling window: gear shifts one bit per byte, so a byte's influence
     * lasts exactly 64 steps on a 64-bit hash.
@@ -121,20 +134,25 @@ object CdcChunker {
   def chunkFiles(spark: SparkSession, files: Seq[(String, Int)],
                  withContent: Boolean = false): Dataset[FileChunk] = {
     import spark.implicits._
-    // segment work list: (path, rank, segStart, segEnd, fileLen)
-    val segs = files.flatMap { case (path, rank) =>
-      val p = new Path(path)
-      val len = p.getFileSystem(new Configuration()).getFileStatus(p).getLen
-      if (len == 0) Seq((path, rank, 0L, 0L, 0L))
-      else (0L until len by CawdEngine.SplitBytes).map { s =>
-        (path, rank, s, math.min(s + CawdEngine.SplitBytes, len), len)
+    val n = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    // file lengths resolved ON EXECUTORS (one serial driver-side RPC per
+    // file would be the exact startup bottleneck the structural planner
+    // avoids), then exploded into ~SplitBytes segment work units
+    // (path, rank, segStart, segEnd, fileLen) and respread across tasks.
+    val segs = spark.createDataset(files).repartition(n)
+      .flatMap { case (path, rank) =>
+        val p = new Path(path)
+        val len = p.getFileSystem(new Configuration()).getFileStatus(p).getLen
+        if (len == 0) Iterator.single((path, rank, 0L, 0L, 0L))
+        else (0L until len by CawdEngine.SplitBytes).iterator.map { s =>
+          (path, rank, s, math.min(s + CawdEngine.SplitBytes, len), len)
+        }
       }
-    }
-    val n = math.max(1, math.min(segs.size, spark.sparkContext.defaultParallelism))
+      .repartition(spark.sparkContext.defaultParallelism)
     // candidate rows (path, rank, fileLen, cutPos); the segment at offset 0
     // also emits a cutPos = -1 sentinel so every file — including ones with
     // no candidates at all — reaches the stage-2 group
-    val candidates = spark.createDataset(segs).repartition(n)
+    val candidates = segs
       .flatMap { case (path, rank, s, e, len) =>
         val sentinel = if (s == 0) Iterator.single((path, rank, len, -1L))
                        else Iterator.empty
@@ -151,10 +169,11 @@ object CdcChunker {
       .flatMapGroups { (path, it) =>
         val first = it.next()
         val (_, rank, len, c0) = first
-        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long] // unboxed
         if (c0 >= 0) buf += c0
         it.foreach { r => if (r._4 >= 0) buf += r._4 }
-        cutsToMetas(path, rank, len, selectCuts(buf.toSeq, len)).iterator
+        cutsToMetas(path, rank, len,
+          selectCuts(scala.collection.immutable.ArraySeq.unsafeWrapArray(buf.result()), len)).iterator
       }
     // Stage 3: bucketed streaming hash, one task per ~SplitBytes of content.
     // A chunk is bucketed by its start; RegionHash reads each group's exact

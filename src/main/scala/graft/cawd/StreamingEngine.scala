@@ -53,42 +53,55 @@ object StreamingEngine {
     Some(beforeBatch.fold(all)(b => all.filter(col("batch") < b)))
   }
 
-  /** Next free batch id in a store directory (max existing + 1; 0 for an
-    * empty/new store). Used by batch-mode incremental runs (CawdMain
-    * `--store`) appending to the same layout the streaming engine owns.
-    */
-  def nextBatchId(spark: SparkSession, storeDir: String): Long = {
+  private def batchIds(storeDir: String): Seq[Long] = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).map(_.getPath.getName)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
       .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
-      .foldLeft(-1L)(math.max) + 1
   }
 
-  /** Compact the store's batch partitions into one (the retention op the
-    * reference never needed because its store lived on one heap): distinct
-    * signatures from all partitions are rewritten under the CURRENT max
-    * batch id and older partitions are dropped. Probe semantics are
-    * preserved — every surviving signature is "earlier" than any future
-    * batch — while the partition count (and per-probe file listing) stops
-    * growing with stream age. Call between triggers; a retried batch after
-    * compaction still overwrites only its own (later) partition.
+  /** Next free STREAMING batch id (max existing non-negative + 1). Batch-
+    * mode partitions are negative ([[nextCliBatchId]]) and never collide
+    * with the checkpoint-derived streaming sequence.
+    */
+  def nextBatchId(spark: SparkSession, storeDir: String): Long =
+    batchIds(storeDir).filter(_ >= 0).foldLeft(-1L)(math.max) + 1
+
+  /** Next free BATCH-MODE partition id: descending from -1. Negative ids
+    * sort below every streaming micro-batch id, so a retrying stream
+    * (overwriting `batch=N`) cannot clobber them, and every stream probe
+    * (`batch < N`) includes them.
+    */
+  def nextCliBatchId(spark: SparkSession, storeDir: String): Long =
+    batchIds(storeDir).filter(_ < 0).foldLeft(0L)(math.min) - 1
+
+  /** Compact the store's batch partitions (the retention op the reference
+    * never needed because its store lived on one heap): all partitions
+    * EXCEPT the newest merge their distinct signatures into the
+    * second-newest id, and the rest are dropped. The newest partition is
+    * never touched: Structured Streaming may retry exactly that batch
+    * after a crash-before-checkpoint-commit (its overwrite targets only
+    * its own id, and its probe of `batch < N` still sees the full merged
+    * history). Probe semantics are preserved — every surviving signature
+    * stays "earlier" than any future batch — while the partition count
+    * stops growing with stream age.
     */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) return
-    val batches = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    if (batches.length <= 1) return
-    val maxId = batches.max
+    val batches = batchIds(storeDir)
+    if (batches.length <= 2) return
+    val protectedId = batches.max // possibly in-flight; never rewritten
+    val mergeIds = batches.filter(_ != protectedId)
+    val mergeInto = mergeIds.max
     val merged = spark.read.option("basePath", storeDir).parquet(storeDir)
+      .filter(col("batch") =!= protectedId)
       .select(StoreCols.map(col): _*)
       .dropDuplicates("signature")
       .localCheckpoint(true) // sever lineage from the files about to vanish
-    merged.write.mode("overwrite").parquet(s"$storeDir/batch=$maxId")
-    batches.filter(_ != maxId).foreach { b =>
+    merged.write.mode("overwrite").parquet(s"$storeDir/batch=$mergeInto")
+    mergeIds.filter(_ != mergeInto).foreach { b =>
       fs.delete(new Path(p, s"batch=$b"), true)
     }
   }

@@ -438,10 +438,12 @@ object TextQueries {
            |    row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
            |    count(*) OVER (PARTITION BY lang) AS exact_distinct
            |  FROM sh),
-           |kth AS (SELECT lang, h AS kth_h, exact_distinct FROM ranked WHERE r = $KmvK)
+           |kth AS (SELECT lang, h AS kth_h, exact_distinct FROM ranked
+           |        WHERE r = least($KmvK, exact_distinct))
            |SELECT lang, exact_distinct,
-           |  CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "instr")}, 0)
-           |    AS BIGINT) AS kmv_estimate
+           |  CASE WHEN exact_distinct < $KmvK THEN exact_distinct
+           |    ELSE CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "instr")}, 0)
+           |      AS BIGINT) END AS kmv_estimate
            |FROM kth""".stripMargin)
     }),
 
@@ -687,10 +689,12 @@ object TextQueries {
          |    row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
          |    count(*) OVER (PARTITION BY lang) AS exact_distinct
          |  FROM sh),
-         |kth AS (SELECT lang, h AS kth_h, exact_distinct FROM ranked WHERE r = $KmvK)
+         |kth AS (SELECT lang, h AS kth_h, exact_distinct FROM ranked
+         |        WHERE r = least($KmvK, exact_distinct))
          |SELECT lang, exact_distinct,
-         |  CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "strpos")}, 0)
-         |    AS BIGINT) AS kmv_estimate
+         |  CASE WHEN exact_distinct < $KmvK THEN exact_distinct
+         |    ELSE CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "strpos")}, 0)
+         |      AS BIGINT) END AS kmv_estimate
          |FROM kth""".stripMargin,
 
     "d15_decontamination" ->

@@ -67,16 +67,33 @@ class StreamingSpec extends AnyFunSuite {
       .sameElements(statsBefore), "stats double-counted on batch retry")
     assert(storeSnapshot().sameElements(storeBefore), "store changed on batch retry")
 
-    // compaction: one partition left, same signature set, next batch id
-    // still advances, and a post-compaction wave still fully dedups
+    // batch-mode incremental API shares the same store: a CLI-style run
+    // over an already-seen file must dedup everything dedupable, under a
+    // NEGATIVE partition id the streaming sequence can never collide with
+    val batchStats = CawdEngine.incrementalFlatDedup(spark, store,
+      CawdEngine.chunkFiles(spark, Seq((s"$inDir/b.parquet", 0)), CawdEngine.Parquet,
+        OrcChunker.Naive),
+      ChunkType.parquetDedupable)
+    val dd = batchStats
+      .filter(col("metric") === "DedupBytes" && col("file") =!= "general")
+      .select("value").head().getDouble(0)
+    assert(dd > 0.0, "incremental batch run dedups against the shared store")
+    assert(new java.io.File(store, "batch=-1").isDirectory,
+      "batch-mode partition id is negative")
+    assert(StreamingEngine.nextBatchId(spark, store) == lastBatch + 1,
+      "streaming id sequence unaffected by batch-mode appends")
+
+    // compaction: newest partition untouched (a stream may be retrying
+    // exactly that batch), everything older merges into the second-newest;
+    // signature set preserved; a post-compaction wave still dedups
     val sigsBefore = spark.read.parquet(store)
-      .select(hex(col("signature"))).collect().map(_.getString(0)).sorted
+      .select(hex(col("signature"))).collect().map(_.getString(0)).distinct.sorted
     StreamingEngine.compactStore(spark, store)
     val partsAfter = new java.io.File(store).listFiles()
       .count(_.getName.startsWith("batch="))
-    assert(partsAfter == 1, "compaction leaves one batch partition")
+    assert(partsAfter == 2, "compaction leaves newest + merged partitions")
     val sigsAfter = spark.read.parquet(store)
-      .select(hex(col("signature"))).collect().map(_.getString(0)).sorted
+      .select(hex(col("signature"))).collect().map(_.getString(0)).distinct.sorted
     assert(sigsAfter.sameElements(sigsBefore), "compaction preserves signatures")
     assert(StreamingEngine.nextBatchId(spark, store) == lastBatch + 1)
     java.nio.file.Files.copy(src.toPath, new java.io.File(inDir, "c.parquet").toPath)
@@ -86,20 +103,6 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("metric") === "DedupBytes" && col("file").endsWith("c.parquet"))
       .select("value").head().getDouble(0)
     assert(cDedup > 0.0, "post-compaction wave must still dedup against the store")
-
-    // batch-mode incremental API shares the same store: a CLI-style run
-    // over the same file must dedup everything dedupable and append only
-    // an (empty-miss) next batch partition
-    val before = StreamingEngine.nextBatchId(spark, store)
-    val batchStats = CawdEngine.incrementalFlatDedup(spark, store,
-      CawdEngine.chunkFiles(spark, Seq((s"$inDir/c.parquet", 0)), CawdEngine.Parquet,
-        OrcChunker.Naive),
-      ChunkType.parquetDedupable)
-    val dd = batchStats
-      .filter(col("metric") === "DedupBytes" && col("file") =!= "general")
-      .select("value").head().getDouble(0)
-    assert(dd > 0.0, "incremental batch run dedups against the shared store")
-    assert(StreamingEngine.nextBatchId(spark, store) == before + 1)
     spark.stop()
   }
 }
