@@ -112,6 +112,32 @@ object StreamingQueries {
       out
     }),
 
+    // Built-in stateful streaming dedup: dropDuplicates holds the seen-key
+    // set as streaming state (the relational cousin of the chunk store).
+    // Which event survives per key is racy, so only the KEY SET is output
+    // — deterministic, and equal to the batch DISTINCT the oracle runs.
+    "s04_streaming_distinct" -> ((s, d) => {
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$d/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val name = s"s04_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.Tables.fixEventTs(stream)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(name)
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    }),
+
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
       val root = new Path(s"${sys.props("java.io.tmpdir")}/graft-stream/${UUID.randomUUID()}")
@@ -147,6 +173,10 @@ object StreamingQueries {
       ChunkType.parquetDedupable, 0L,
       keyExpr = "(batchId * 4194304 + fileRank) * 4294967296 + seq",
       glob = Some(s"${CawdExport.Root}/sf0.01/s01/batch=*/*.parquet")),
+
+    // streaming dropDuplicates key set == batch DISTINCT
+    "s04_streaming_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     // final mapGroupsWithState state == batch per-key aggregation
     "s03_stateful_running_totals" ->
