@@ -37,19 +37,23 @@ object CdcChunker {
   val AvgSize = 8192L
   val MaxSize = 65536L
 
-  /** Candidate mask: log2(Avg) = 13 one-bits SPREAD OVER THE HIGH HALF of
-    * the hash, giving P(candidate) = 1/Avg. High bits are essential: in
-    * `h = (h << 1) + gear(b)` a byte of age `a` contributes `gear << a`,
-    * so bit 63 mixes contributions from the full 64-byte window while bit
-    * 12 sees only the last 13 bytes — a low-bits mask (the naive
-    * `Avg - 1`) would collapse boundary quality to a 13-byte rolling hash
-    * on repetitive data. Same reasoning as FastCDC's published spread
-    * masks; bit positions here are fixed and documented rather than
-    * borrowed.
+  /** Candidate mask: log2(Avg) one-bits spread across the hash's UPPER
+    * bits (every third position down from bit 63), giving P(candidate) =
+    * 1/Avg. Upper bits are essential: in `h = (h << 1) + gear(b)` a byte
+    * of age `a` contributes `gear << a`, so bit 63 mixes the full 64-byte
+    * window and the lowest masked bit (63 − 3·(log2(Avg)−1) = 27 for the
+    * 8 KiB default) still mixes the last 28 bytes — whereas the naive
+    * `Avg − 1` low-bits mask examines only the last 13 bytes and collapses
+    * boundary quality to a short rolling hash on repetitive data. Same
+    * reasoning as FastCDC's published spread masks; derived from AvgSize
+    * so the two cannot drift apart.
     */
-  private val AvgMask: Long =
-    Seq(63, 61, 58, 54, 51, 47, 44, 40, 36, 33, 29, 25, 21)
-      .map(1L << _).reduce(_ | _)
+  private val AvgMask: Long = {
+    val bits = java.lang.Long.numberOfTrailingZeros(AvgSize) // log2(Avg)
+    require(AvgSize == (1L << bits), "AvgSize must be a power of two")
+    require(63 - 3 * (bits - 1) >= 16, "mask bits must stay in the upper hash")
+    (0 until bits).map(i => 1L << (63 - 3 * i)).reduce(_ | _)
+  }
 
   /** Rolling window: gear shifts one bit per byte, so a byte's influence
     * lasts exactly 64 steps on a 64-bit hash.

@@ -39,6 +39,21 @@ object StreamingEngine {
   /** Chunk-store schema columns persisted across batches. */
   private val StoreCols = Seq("signature", "chunkType", "size")
 
+  /** Explicit store schema: a batch with zero misses still writes its
+    * (empty) partition, and schema INFERENCE over a partition holding only
+    * _SUCCESS throws — pinning the schema makes empty partitions read as
+    * zero rows instead of bricking every later probe.
+    */
+  private val StoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("signature",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("chunkType",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("size",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+
   /** Store contents visible to `beforeBatch` (exclusive): the union of all
     * earlier batches' partitions. `None` reads everything (external
     * consumers).
@@ -49,7 +64,8 @@ object StreamingEngine {
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p) || !fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
       return None
-    val all = spark.read.option("basePath", storeDir).parquet(storeDir)
+    val all = spark.read.schema(StoreSchema)
+      .option("basePath", storeDir).parquet(storeDir)
     Some(beforeBatch.fold(all)(b => all.filter(col("batch") < b)))
   }
 
@@ -95,7 +111,8 @@ object StreamingEngine {
     val protectedId = batches.max // possibly in-flight; never rewritten
     val mergeIds = batches.filter(_ != protectedId)
     val mergeInto = mergeIds.max
-    val merged = spark.read.option("basePath", storeDir).parquet(storeDir)
+    val merged = spark.read.schema(StoreSchema)
+      .option("basePath", storeDir).parquet(storeDir)
       .filter(col("batch") =!= protectedId)
       .select(StoreCols.map(col): _*)
       .dropDuplicates("signature")

@@ -27,6 +27,29 @@ object StreamingQueries {
     */
   case class TypeState(n: Long, micros: Long)
 
+  /** Schema-probed streaming read of the events table (the dir holds all
+    * corpus tables, hence the glob).
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    graft.Tables.fixEventTs(s.readStream
+      .schema(s.read.parquet(s"$d/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d))
+
+  /** Shared memory-sink harness: start the query against a uniquely-named
+    * sink, drain it (AvailableNow inside `start`), project + materialize
+    * the sink table, drop the view.
+    */
+  private def drainToMemory(s: SparkSession, prefix: String,
+      start: String => org.apache.spark.sql.streaming.StreamingQuery,
+      project: DataFrame => DataFrame): DataFrame = {
+    val name = s"${prefix}_${UUID.randomUUID().toString.replace("-", "")}"
+    start(name).awaitTermination()
+    val out = project(s.table(name)).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   private def copyInto(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
                        srcs: Seq[String], destDir: Path, prefix: String): Unit =
     srcs.foreach { s =>
@@ -41,14 +64,8 @@ object StreamingQueries {
     // memory sink. With AvailableNow the final result equals the batch
     // aggregation, so the streaming machinery (file source, window(),
     // stateful agg) gets a value-level oracle.
-    "s02_streaming_window" -> ((s, d) => {
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$d/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet") // the dir holds all tables
-        .parquet(d)
-      val fixed = graft.Tables.fixEventTs(stream)
-      val name = s"s02_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = fixed
+    "s02_streaming_window" -> ((s, d) => drainToMemory(s, "s02",
+      name => eventsStream(s, d)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -56,16 +73,10 @@ object StreamingQueries {
         .writeStream.outputMode("complete")
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(name)
-        .select(unix_timestamp(col("window.start")).as("bucket"),
+        .start(),
+      _.select(unix_timestamp(col("window.start")).as("bucket"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy("bucket", "event_type")
-        .localCheckpoint(true)
-      s.catalog.dropTempView(name)
-      out
-    }),
+        .orderBy("bucket", "event_type"))),
 
     // Custom streaming state (SURVEY.md §2.8): running per-key totals via
     // mapGroupsWithState — the API a pipeline reaches for when windows/aggs
@@ -76,67 +87,47 @@ object StreamingQueries {
     // monotone).
     "s03_stateful_running_totals" -> ((s, d) => {
       import s.implicits._
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$d/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-      val typed = graft.Tables.fixEventTs(stream)
-        .select(col("event_type"),
-          round(col("value") * 1e6, 0).cast("long").as("micros"))
-        .as[(String, Long)]
-      val name = s"s03_${UUID.randomUUID().toString.replace("-", "")}"
-      val q = typed.groupByKey(_._1)
-        .mapGroupsWithState[TypeState, (String, Long, Double)](
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
-          (key: String, it: Iterator[(String, Long)],
-           state: org.apache.spark.sql.streaming.GroupState[TypeState]) =>
-            var st = state.getOption.getOrElse(TypeState(0L, 0L))
-            it.foreach(r => st = TypeState(st.n + 1, st.micros + r._2))
-            state.update(st)
-            (key, st.n, st.micros / 1e6)
-        }
-        .toDF("event_type", "n", "sum_value")
-        .writeStream.outputMode("update")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(name)
-        .groupBy(col("event_type"))
-        .agg(max(struct(col("n"), col("sum_value"))).as("st"))
-        .select(col("event_type"), col("st.n").as("n"),
-          round(col("st.sum_value"), 6).as("sum_value"))
-        .orderBy("event_type")
-        .localCheckpoint(true)
-      s.catalog.dropTempView(name)
-      out
+      drainToMemory(s, "s03",
+        name => eventsStream(s, d)
+          .select(col("event_type"),
+            round(col("value") * 1e6, 0).cast("long").as("micros"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[TypeState, (String, Long, Double)](
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+            (key: String, it: Iterator[(String, Long)],
+             state: org.apache.spark.sql.streaming.GroupState[TypeState]) =>
+              var st = state.getOption.getOrElse(TypeState(0L, 0L))
+              it.foreach(r => st = TypeState(st.n + 1, st.micros + r._2))
+              state.update(st)
+              (key, st.n, st.micros / 1e6)
+          }
+          .toDF("event_type", "n", "sum_value")
+          .writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(),
+        _.groupBy(col("event_type"))
+          .agg(max(struct(col("n"), col("sum_value"))).as("st"))
+          .select(col("event_type"), col("st.n").as("n"),
+            round(col("st.sum_value"), 6).as("sum_value"))
+          .orderBy("event_type"))
     }),
 
     // Built-in stateful streaming dedup: dropDuplicates holds the seen-key
     // set as streaming state (the relational cousin of the chunk store).
     // Which event survives per key is racy, so only the KEY SET is output
     // — deterministic, and equal to the batch DISTINCT the oracle runs.
-    "s04_streaming_distinct" -> ((s, d) => {
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$d/events.parquet").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-      val name = s"s04_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = graft.Tables.fixEventTs(stream)
+    "s04_streaming_distinct" -> ((s, d) => drainToMemory(s, "s04",
+      name => eventsStream(s, d)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
         .writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = s.table(name)
-        .select(col("user_id"), col("event_type"))
-        .orderBy("user_id", "event_type")
-        .localCheckpoint(true)
-      s.catalog.dropTempView(name)
-      out
-    }),
+        .start(),
+      _.select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type"))),
 
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
