@@ -129,6 +129,39 @@ object StreamingQueries {
       _.select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type"))),
 
+    // Stream-stream interval join: each click joined to the same user's
+    // views from the preceding 6 hours — the attribution-join shape, and
+    // the one Structured Streaming feature class (two buffered stateful
+    // sides, event-time range condition) the other s* queries don't touch.
+    // Watermarks on BOTH sides + the time bound let the engine evict
+    // buffered state at scale; with AvailableNow the inner join emits
+    // exactly the batch interval-join result, so it gets a full oracle.
+    "s05_stream_stream_join" -> ((s, d) => drainToMemory(s, "s05",
+      name => {
+        val clicks = eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val views = eventsStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        clicks.join(views,
+            col("user_id") === col("view_user") &&
+              col("view_ts") >= col("click_ts") - expr("INTERVAL 6 HOURS") &&
+              col("view_ts") <= col("click_ts"))
+          .select(col("click_id"), col("view_id"), col("user_id"),
+            (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+              .as("lag_sec"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      },
+      _.orderBy("click_id", "view_id"))),
+
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
       val root = new Path(s"${sys.props("java.io.tmpdir")}/graft-stream/${UUID.randomUUID()}")
@@ -174,6 +207,15 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n,
         |  round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 6) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // streaming interval self-join == batch interval join (inner join +
+    // AvailableNow: every match emitted exactly once)
+    "s05_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+        |  CAST(floor(epoch(a.ts)) - floor(epoch(b.ts)) AS BIGINT) AS lag_sec
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  AND b.ts >= a.ts - INTERVAL 6 HOUR AND b.ts <= a.ts""".stripMargin,
 
     // complete-mode streaming window == batch tumbling-window aggregation
     "s02_streaming_window" ->

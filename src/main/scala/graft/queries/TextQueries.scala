@@ -42,6 +42,16 @@ object TextQueries {
       |                        element_at(w, i + 2))))
       |ELSE array() END""".stripMargin
 
+  /** Word 5-gram shingles over a pre-split token array `w` (decontamination
+    * granularity — same shape d15 inlines in SQL form).
+    */
+  private val shingle5Expr =
+    """CASE WHEN size(w) >= 5 THEN
+      |  transform(sequence(1, size(w) - 4), i -> concat_ws(' ',
+      |    element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+      |    element_at(w, i + 3), element_at(w, i + 4)))
+      |ELSE array() END""".stripMargin
+
   private val ShingleSqlCtes =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -473,6 +483,54 @@ object TextQueries {
           |GROUP BY doc_id, source""".stripMargin)
     }),
 
+    // Bloom-prefiltered decontamination: d15's semi-join re-expressed in
+    // the 100 TB shape. The benchmark shingle set compiles into a broadcast
+    // Bloom filter (a few MB for millions of shingles at 3% fpp); training
+    // shingles stream through the bit-test as a NARROW filter — no shuffle
+    // of the corpus-sized shingle stream — and only the tiny surviving
+    // fraction pays the exact broadcast semi-join that removes false
+    // positives. Bloom filters have no false negatives, so the result is
+    // IDENTICAL to the exact join and the approximate structure still gets
+    // a value-level oracle.
+    "d17_bloom_decontamination" -> ((s, d) => {
+      val ex = documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), explode(expr(shingle5Expr)).as("s5"))
+      val bench = ex.filter(col("source") === "src0").select("s5").distinct().cache()
+      val bloom = bench.stat.bloomFilter("s5", math.max(bench.count(), 1L), 0.03)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((x: String) => x != null && bloomB.value.mightContainString(x))
+      ex.filter(col("source") =!= "src0")
+        .filter(mightContain(col("s5")))          // bloom prefilter: narrow, no shuffle
+        .join(broadcast(bench), Seq("s5"), "left_semi") // exact FP removal
+        .dropDuplicates("doc_id", "s5")           // only survivors reach the shuffle
+        .groupBy("source").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_hits"),
+          countDistinct(col("s5")).as("n_distinct_shingles"))
+    }),
+
+    // Deterministic source-weighted Bernoulli sampling (domain
+    // reweighting): keep a doc iff fraction(md5(doc_id)) < rate(source) —
+    // rate 1.0 for even-numbered sources, 0.25 for odd. A pure narrow
+    // projection + filter: ZERO shuffles at any scale (rank-based
+    // balancing like m05 pays a per-group sort), and the hash threshold is
+    // reproducible across engines, so the sample membership itself is
+    // value-checked.
+    "d18_weighted_sample" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        s"""WITH h AS (SELECT doc_id, source,
+           |    CAST(substr(source, 4) AS INT) AS si,
+           |    md5(CAST(doc_id AS STRING)) AS hh FROM documents),
+           |u AS (SELECT doc_id, source, si,
+           |    ${hexFractionSql("hh", "instr")} AS u FROM h)
+           |SELECT doc_id, source, u,
+           |  CAST(CASE WHEN si % 2 = 0 THEN 1.0 ELSE 0.25 END AS DOUBLE) AS rate
+           |FROM u
+           |WHERE u < CASE WHEN si % 2 = 0 THEN 1.0 ELSE 0.25 END""".stripMargin)
+    }),
+
     // Sequence packing: each doc explodes into fixed 32-token windows with
     // stride 24 (8-token overlap) — the chunking step that turns documents
     // into training sequences. Pure per-doc explode + narrow projection; the
@@ -707,6 +765,31 @@ object TextQueries {
         |FROM sh JOIN bench USING (s)
         |WHERE source <> 'src0'
         |GROUP BY doc_id, source""".stripMargin,
+
+    // exact equivalent of the bloom-prefiltered pipeline (no false negatives
+    // + exact verify ⇒ bloom changes cost, never the answer)
+    "d17_bloom_decontamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s5
+        |       FROM toks, UNNEST(range(1, len(w)-3)) AS g(i)),
+        |bench AS (SELECT DISTINCT s5 FROM sh WHERE source = 'src0')
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits,
+        |       count(DISTINCT s5) AS n_distinct_shingles
+        |FROM sh JOIN bench USING (s5)
+        |WHERE source <> 'src0'
+        |GROUP BY source""".stripMargin,
+
+    "d18_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS INT) AS si,
+         |    md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+         |u AS (SELECT doc_id, source, si,
+         |    ${hexFractionSql("hh", "strpos")} AS u FROM h)
+         |SELECT doc_id, source, u,
+         |  CAST(CASE WHEN si % 2 = 0 THEN 1.0 ELSE 0.25 END AS DOUBLE) AS rate
+         |FROM u
+         |WHERE u < CASE WHEN si % 2 = 0 THEN 1.0 ELSE 0.25 END""".stripMargin,
 
     "d16_sequence_packing" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
