@@ -73,8 +73,11 @@ object TextQueries {
     * doubles are bit-identical. `strposFn` = instr (Spark) / strpos (DuckDB).
     */
   private def hexFractionSql(col: String, strposFn: String): String =
+    // CAST…AS DOUBLE: Spark parses non-exponent literals (16.0) as
+    // DECIMAL(3,1) while DuckDB uses DOUBLE — mixed decimal/double division
+    // skews the sum by ~1e-6 and breaks the value-level hash compare.
     (1 to 8).map { i =>
-      s"($strposFn('0123456789abcdef', substr($col, $i, 1)) - 1) / ${math.pow(16.0, i)}"
+      s"($strposFn('0123456789abcdef', substr($col, $i, 1)) - 1) / CAST(${math.pow(16.0, i)} AS DOUBLE)"
     }.mkString("(", " + ", ")")
 
   /** SimHash: 64-bit fingerprint from per-token md5 bits, tf-weighted;
