@@ -31,5 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one class per stage; ~110 query executions
+  // (Bench: 55 queries × 2 passes) overflow the default 240 MB code cache,
+  // after which the JIT stops compiling and everything runs interpreted —
+  // late queries measured 2-5× slower than in isolation.
+  "-XX:ReservedCodeCacheSize=1g",
 )
 scalacOptions ++= Seq("-deprecation")

@@ -16,7 +16,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
+    val only = args.toSet // dev: limit to named queries (driver passes none)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -28,8 +30,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // each query caches what IT reuses across its own plan branches;
       // dropping those blocks afterwards keeps measurements independent
-      // (36 queries' cached binaries otherwise pile up into GC churn)
+      // (the queries' cached binaries otherwise pile up into GC churn)
       spark.catalog.clearCache()
+      // ContextCleaner frees shuffle files / broadcast blocks only when the
+      // driver GCs (periodicGC default is 30 min — longer than the whole
+      // run). Without this, ~110 query executions accumulate state and
+      // late-alphabet queries measure 2-5× slower than they run in
+      // isolation. Outside the timed window, so it costs the metric nothing.
+      System.gc()
       // a crashed query must not masquerade as a fast one: -1 sentinel
       if (ok) dt else -1.0
     }

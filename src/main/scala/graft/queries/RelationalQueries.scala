@@ -199,6 +199,41 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           round(avg(col("k")), 6).as("avg_k"))
+    }),
+
+    // As-of join (the time-series operator Spark has no built-in for):
+    // each click matched to the same user's most recent view at-or-before
+    // it. Implemented WITHOUT a join: union both sides, one window pass
+    // carrying the last view forward — a single shuffle on user_id, linear
+    // in events, immune to the row-explosion a range join risks. Ties are
+    // deterministic: views collapse to one per (user, us) up front (max
+    // event_id), and at equal us the view sorts before the click (kind 0<1)
+    // so a same-instant view is visible. DuckDB verifies with its native
+    // ASOF LEFT JOIN — an independent implementation of the semantics.
+    "q14_asof_join" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """WITH v AS (
+          |  SELECT user_id, unix_micros(ts) AS us, max(event_id) AS id
+          |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          |c AS (
+          |  SELECT user_id, unix_micros(ts) AS us, event_id AS id
+          |  FROM events WHERE event_type = 'click'),
+          |merged AS (
+          |  SELECT user_id, us, 0 AS kind, id FROM v
+          |  UNION ALL
+          |  SELECT user_id, us, 1 AS kind, id FROM c),
+          |carried AS (
+          |  SELECT user_id, us, kind, id,
+          |    last_value(CASE WHEN kind = 0 THEN id END, true)
+          |      OVER (PARTITION BY user_id ORDER BY us, kind, id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+          |    last_value(CASE WHEN kind = 0 THEN us END, true)
+          |      OVER (PARTITION BY user_id ORDER BY us, kind, id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us
+          |  FROM merged)
+          |SELECT id AS click_id, user_id, view_id, us - view_us AS lag_us
+          |FROM carried WHERE kind = 1""".stripMargin)
     })
   )
 
@@ -301,6 +336,20 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 6) AS avg_k
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of the
+    // q14 semantics (the Spark side is a union + carry-forward window).
+    "q14_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS us, max(event_id) AS id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.id AS click_id, c.user_id, v.id AS view_id,
+        |  c.us - v.us AS lag_us
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.us >= v.us""".stripMargin
   )
 }

@@ -36,15 +36,58 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet")
       .parquet(d))
 
+  /** Scratch root for transient stream state (checkpoints, staged input
+    * waves): tmpfs when the host has one — checkpoint commit logs and state
+    * snapshots fsync per micro-batch, and for these drain-and-discard
+    * verification runs durability buys nothing. A production stream passes
+    * its own durable checkpoint path to the library entry points.
+    */
+  private[queries] def scratchRoot: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-stream"
+    else s"${sys.props("java.io.tmpdir")}/graft-stream"
+
+  private val deferred = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit = sys.addShutdownHook {
+    val conf = new Configuration()
+    deferred.forEach { d =>
+      try { val p = new Path(d); p.getFileSystem(conf).delete(p, true) }
+      catch { case _: Throwable => () }
+    }
+  }
+  private def deferDelete(dir: String): Unit = { cleanupHook; deferred.add(dir) }
+
   /** Shared memory-sink harness: start the query against a uniquely-named
     * sink, drain it (AvailableNow inside `start`), project + materialize
     * the sink table, drop the view.
+    *
+    * While the stream runs, shuffle partitions drop to 8: stateful
+    * operators create one state store (and one checkpoint file tree) per
+    * shuffle partition per micro-batch, and these local-mode drains hold
+    * kilobytes of state per partition — 32 near-empty stores are pure
+    * overhead. The session default is restored before the sink table is
+    * materialized.
     */
   private def drainToMemory(s: SparkSession, prefix: String,
       start: String => org.apache.spark.sql.streaming.StreamingQuery,
       project: DataFrame => DataFrame): DataFrame = {
     val name = s"${prefix}_${UUID.randomUUID().toString.replace("-", "")}"
-    start(name).awaitTermination()
+    val ckpt = s"$scratchRoot/ckpt/$name"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCkpt = s.conf.getOption("spark.sql.streaming.checkpointLocation")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+    try start(name).awaitTermination()
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevCkpt match {
+        case Some(v) => s.conf.set("spark.sql.streaming.checkpointLocation", v)
+        case None => s.conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+      // Deleted at JVM exit, NOT here: the terminated query's state-store
+      // providers stay loaded until the maintenance thread unloads them,
+      // and maintenance against a deleted checkpoint dir error-loops.
+      deferDelete(ckpt)
+    }
     val out = project(s.table(name)).localCheckpoint(true)
     s.catalog.dropTempView(name)
     out
@@ -164,7 +207,7 @@ object StreamingQueries {
 
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
-      val root = new Path(s"${sys.props("java.io.tmpdir")}/graft-stream/${UUID.randomUUID()}")
+      val root = new Path(s"$scratchRoot/${UUID.randomUUID()}")
       val fs = root.getFileSystem(conf)
       val inDir = new Path(root, "in"); fs.mkdirs(inDir)
       val store = new Path(root, "store").toString
@@ -187,7 +230,7 @@ object StreamingQueries {
           .orderBy("file", "metric")
           // materialize before the temp tree is deleted
           .localCheckpoint(true)
-      } finally fs.delete(root, true)
+      } finally deferDelete(root.toString) // ckpt inside: same unload hazard
     })
   )
 

@@ -336,8 +336,14 @@ object TextQueries {
       var labels = nodes.repartition(parts, col("doc_id"))
         .withColumn("label", col("doc_id"))
         .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
+      // Convergence check: next.label = min(own, neighbors') is monotone
+      // non-increasing per node, so the label SUM strictly decreases until
+      // the fixpoint — one narrow agg per round instead of a self-join.
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
         val next = labels.as("l")
           .join(partEdges, col("l.doc_id") === col("src"))
           .join(labels.select(col("doc_id").as("dst_id"), col("label").as("nl")),
@@ -346,9 +352,9 @@ object TextQueries {
           .agg(least(min(col("l.label")), min(col("nl"))).as("label"))
           .repartition(parts, col("doc_id"))
           .localCheckpoint(true)
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.label") =!= col("o.label")).count()
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
         labels = next
       }
       df.select(col("doc_id"))

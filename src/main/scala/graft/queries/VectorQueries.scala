@@ -196,6 +196,37 @@ object VectorQueries {
     */
   val SemThreshold = 0.4
 
+  /** e06: int8 scalar quantization — the compression step every
+    * billion-vector ANN index applies before sharding (4× smaller than
+    * float32, dot products in integer SIMD). Per-dimension global min/max
+    * (one tiny agg, broadcast back), code = floor(255·(x−mn)/(mx−mn)+0.5);
+    * per-vector outputs are exact-integer or decimal-summed, so the whole
+    * quantizer is value-checkable across engines. floor(v+0.5) instead of
+    * round(): both engines agree on floor; round-half ties differ.
+    */
+  private def quantizeSql(spark: Boolean): String = {
+    val elem = if (spark) "element_at(embedding, CAST(i AS INT))" else "embedding[i]"
+    val lat = if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
+              else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"
+    s"""WITH flat AS (
+       |  SELECT vec_id, i, CAST($elem AS DOUBLE) AS x FROM embeddings $lat),
+       |dims AS (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM flat GROUP BY i),
+       |codes AS (
+       |  SELECT vec_id, i, x, mn, mx,
+       |    CAST(CASE WHEN mx = mn THEN 0
+       |      ELSE floor((x - mn) / (mx - mn) * 255.0E0 + 0.5E0) END AS BIGINT) AS q
+       |  FROM flat JOIN dims USING (i)),
+       |errs AS (
+       |  SELECT vec_id, q,
+       |    CAST(abs(x - (mn + q / 255.0E0 * (mx - mn))) AS DECIMAL(18,12)) AS err
+       |  FROM codes)
+       |SELECT vec_id, CAST(sum(q) AS BIGINT) AS qsum,
+       |  CAST(max(err) AS DOUBLE) AS max_abs_err,
+       |  CAST(sum(err) AS DOUBLE) / count(*) AS mean_abs_err
+       |FROM errs GROUP BY vec_id""".stripMargin
+  }
+
   private def semanticDedupSql(spark: Boolean): String = {
     val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
                 else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
@@ -293,6 +324,14 @@ object VectorQueries {
            |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
            |            JOIN embeddings eb ON cand.idb = eb.vec_id)
            |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin)
+    }),
+
+    // int8 scalar quantization of the embedding column (see quantizeSql).
+    // The dims agg is a 64-row table — broadcast back to the flat stream —
+    // so the whole pipeline is two narrow passes over the corpus.
+    "e06_vector_quantize" -> ((s, d) => {
+      registerEmbeddings(s, d)
+      s.sql(quantizeSql(spark = true))
     })
   )
 
@@ -329,6 +368,8 @@ object VectorQueries {
     "e03_ivf_topk" -> ivfSql(spark = false),
 
     "e05_semantic_dedup" -> semanticDedupSql(spark = false),
+
+    "e06_vector_quantize" -> quantizeSql(spark = false),
 
     "e04_cosine_neardup_pairs" ->
       s"""WITH ${bandedLshSql(spark = false)},
