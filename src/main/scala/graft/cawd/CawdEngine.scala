@@ -313,14 +313,24 @@ object CawdEngine {
     * Shuffles only (file, seq, content) and verifies with a streaming SHA-1
     * per group — no whole-file buffer on the reduce side.
     */
-  def reconstructionCheck(chunks: Dataset[FileChunk]): DataFrame = {
-    val spark = chunks.sparkSession
-    import spark.implicits._
-    chunks
-      // same top-level cover rule as reconstructTo: drop timing rows and
-      // overlay columns only — ColumnBased top-level Column chunks are data
+  def reconstructionCheck(chunks: Dataset[FileChunk]): DataFrame =
+    // same top-level cover rule as reconstructTo: drop timing rows and
+    // overlay columns only — ColumnBased top-level Column chunks are data
+    reconstructionCheckRows(chunks
       .filter(c => c.parentSeq != -2 &&
         !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
+      .toDF())
+
+  /** Same check over an already cover-filtered chunk-content relation with
+    * at least (file, seq, content) — e.g. the c06 export table, so the
+    * DuckDB oracle and this digest consume byte-identical input.
+    */
+  def reconstructionCheckRows(chunkRows: DataFrame): DataFrame = {
+    val spark = chunkRows.sparkSession
+    import spark.implicits._
+    chunkRows
+      .select(col("file"), col("seq"), col("content"))
+      .as[(String, Int, Array[Byte])]
       // Externally-sorted stream per file: Spark's shuffle sort orders rows
       // on disk, and the digest consumes them one by one — at no point does
       // a whole file's content sit in one task's heap.
@@ -350,18 +360,18 @@ object CawdEngine {
           private var pending: Option[(String, Long, Long, Boolean)] = None
           private def advance(): Unit = {
             while (pending.isEmpty && rows.hasNext) {
-              val c = rows.next()
-              if (cur != null && c.file != cur) {
+              val (file, _, content) = rows.next()
+              if (cur != null && file != cur) {
                 pending = Some(finish(cur, md, reconBytes))
                 cur = null
               }
               if (cur == null) {
-                cur = c.file
+                cur = file
                 md = java.security.MessageDigest.getInstance("SHA-1")
                 reconBytes = 0L
               }
-              md.update(c.content)
-              reconBytes += c.content.length
+              md.update(content)
+              reconBytes += content.length
             }
             if (pending.isEmpty && cur != null) {
               pending = Some(finish(cur, md, reconBytes))

@@ -22,13 +22,19 @@ import graft.cawd._
   */
 object CawdQueries {
 
+  /** Fixed root (like [[CawdExport.Root]], not `java.io.tmpdir`): the c06
+    * oracle's `read_blob` must name the same absolute path the fixtures
+    * are written to.
+    */
+  val OrcFixtureRoot = "/tmp/graft-orc-fixtures"
+
   /** Deterministic ORC fixtures: testdata tables re-written as single ORC
-    * files under the JVM tmpdir (one dir per sf). Sorted single-partition
-    * writes → byte-stable files per round.
+    * files under [[OrcFixtureRoot]] (one dir per sf). Sorted
+    * single-partition writes → byte-stable files per round.
     */
   def ensureOrcFixtures(spark: SparkSession, sfDir: String): String = {
     val sfName = sfDir.replaceAll(".*/", "")
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft-orc-fixtures/$sfName"
+    val outDir = s"$OrcFixtureRoot/$sfName"
     val conf = new Configuration()
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
@@ -119,16 +125,25 @@ object CawdQueries {
       Stats.rollup(Stats.fromStatus(status, emitSizes = true)).orderBy("file", "metric")
     }),
 
-    // S7: byte-identity reconstruction over both formats. Inherently
-    // byte-level → rows-only driver check + CawdSpec unit coverage.
+    // S7: byte-identity reconstruction over both formats. The cover-filtered
+    // chunk contents are materialized, the streaming SHA-1 digest consumes
+    // the EXPORT, and the DuckDB oracle re-verifies every chunk's bytes
+    // against `read_blob` slices of the original files at the cumulative
+    // offset — an independent byte-level check of the same relation.
     "c06_reconstruction" -> ((s, d) => {
       val orcDir = ensureOrcFixtures(s, d)
       val orc = CawdEngine.chunkFiles(s, CawdEngine.listFiles(orcDir, ".orc"),
         CawdEngine.Orc, OrcChunker.StripeColumn, withContent = true)
       val pq = CawdEngine.chunkFiles(s, CawdEngine.listFiles(d, ".parquet"),
         CawdEngine.Parquet, withContent = true)
-      CawdEngine.reconstructionCheck(orc)
-        .unionByName(CawdEngine.reconstructionCheck(pq))
+      val cover = orc.unionByName(pq)
+        // top-level cover rule (see reconstructTo): no timing rows, no
+        // StripeColumn overlay columns
+        .filter(c => c.parentSeq != -2 &&
+          !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
+        .select(col("file"), col("seq"), col("size"), col("content"))
+      val tbl = CawdExport.materializeDf(s, d, "c06", cover)
+      CawdEngine.reconstructionCheckRows(tbl)
         .withColumn("file", base(col("file")))
         .orderBy("file")
     }),
@@ -186,7 +201,37 @@ object CawdQueries {
       s"""SELECT file, bytes AS transfer_bytes,
          |  CAST(ceil(bytes / 4096.0) AS BIGINT) AS frames,
          |  CAST(length(file) + 12 AS BIGINT) AS extra_bytes
-         |FROM read_parquet('${exportGlob("c07")}')""".stripMargin
+         |FROM read_parquet('${exportGlob("c07")}')""".stripMargin,
+
+    // Byte-identity reconstruction, re-verified from outside the engine:
+    // every exported chunk's bytes must equal the original file's bytes at
+    // that chunk's cumulative offset (hex-compare — DuckDB 1.0 can slice
+    // VARCHAR but not BLOB), and the chunk sizes must sum to the file size.
+    // Equivalent to the Spark side's streaming-SHA1(concat) == SHA1(file).
+    "c06_reconstruction" ->
+      s"""WITH c AS (
+         |  SELECT regexp_replace(file, '^file:', '') AS path, seq, size, content
+         |  FROM read_parquet('${exportGlob("c06")}')),
+         |off AS (
+         |  SELECT path, size, content,
+         |    sum(size) OVER (PARTITION BY path ORDER BY seq
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size AS cumoff
+         |  FROM c),
+         |orig AS (
+         |  SELECT filename, hex(content) AS h, size AS fsize
+         |  FROM read_blob(['/root/testdata/sf0.01/*.parquet',
+         |                  '${CawdQueries.OrcFixtureRoot}/sf0.01/*.orc'])),
+         |chk AS (
+         |  SELECT o.path, g.fsize, o.size,
+         |    substring(g.h, CAST(o.cumoff * 2 + 1 AS BIGINT),
+         |              CAST(o.size * 2 AS BIGINT)) = hex(o.content) AS ok
+         |  FROM off o JOIN orig g ON o.path = g.filename)
+         |SELECT regexp_replace(path, '.*/', '') AS file,
+         |  CAST(max(fsize) AS BIGINT) AS file_bytes,
+         |  CAST(sum(size) AS BIGINT) AS recon_bytes,
+         |  (bool_and(ok) AND CAST(max(fsize) AS BIGINT) = CAST(sum(size) AS BIGINT))
+         |    AS identical
+         |FROM chk GROUP BY 1""".stripMargin
   )
 }
 
