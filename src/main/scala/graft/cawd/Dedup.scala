@@ -61,12 +61,14 @@ object Dedup {
     */
   def markFirstOccurrence(chunks: DataFrame, ordCol: String,
                           store: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val key = struct(col("fileRank"), col(ordCol))
-    val firsts = chunks.groupBy(col("signature"))
-      .agg(min(key).as("__first_key"))
-    val marked = chunks.join(firsts, Seq("signature"))
-      .withColumn(IsFirstCol, key <=> col("__first_key"))
-      .drop("__first_key")
+    // min-over-window instead of aggregate + join-back on signature: ONE
+    // shuffle of the chunk table (signature-partitioned) instead of an agg
+    // exchange plus a second full-table join exchange
+    val marked = chunks
+      .withColumn(IsFirstCol,
+        key <=> min(key).over(Window.partitionBy(col("signature"))))
     store match {
       case Some(s) =>
         val sigsOnly = s.select(col("signature")).distinct()

@@ -1,6 +1,6 @@
 package graft.cawd
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** TransferStats aggregations (SURVEY.md §2.5).
@@ -78,69 +78,71 @@ object Stats {
     // Column subchunks of delegated stripes OVERLAY their stripe's data
     // region — exclude them from FileBytes so it equals the file's length.
     val topLevel = !(col("chunkType") === ChunkType.Column && col("parentSeq") =!= -1)
-    val perFile = statusDf.groupBy(col("file")).agg(
-      sum(when(sent, col("size")).otherwise(0L)).as("transfer"),
-      sum(when(col("status").isin("hit", "hit_linked"), col("size")).otherwise(0L)).as("dedup"),
-      sum(when(probed, lit(Dedup.Wire.SigProbe)).otherwise(0L)).as("probeOverhead"),
-      max(length(col("file")) + lit(Dedup.Wire.FileHeaderFixed)).as("headerOverhead"),
-      sum(when(topLevel, col("size")).otherwise(0L)).as("fileBytes"))
 
-    val counters = statusDf
-      .filter(probed || col("status") === "small")
-      .groupBy(col("file"),
-        when(col("status") === "small" && col("chunkType") === ChunkType.Column,
-          lit(Metric.SmallColumn))
-          .otherwise(concat(kind,
-            when(col("status") === "hit", lit("Hit"))
-              .when(col("status") === "small", lit("Small"))
-              .otherwise(lit("Miss")))).as("metric"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .withColumn("unit", lit(Metric.Count))
+    // SINGLE PASS over the status relation: each chunk row explodes into the
+    // metric contributions it makes, then ONE hash aggregate (map-side
+    // combined) sums them per (file, metric[, instance]). The previous shape
+    // — one scan per metric family — re-executed the whole upstream dedup
+    // cascade 5-6×; at a 100 TB chunk table that's 5 extra passes, and on
+    // the bench it was ~70 AQE stage-jobs per c* query.
+    //
+    // `subkey` keeps multi-instance metrics (one StripeSize VALUE per
+    // stripe, one FooterSize per footer chunk) from collapsing: it carries
+    // the stripe/chunk id through the aggregate and is dropped afterwards,
+    // so the rollup's percentile bundle still sees one row per instance.
+    val noKey = lit(null).cast("long")
+    def entry(metric: Column, value: Column, subkey: Column = noKey): Column =
+      struct(metric.as("metric"), subkey.cast("long").as("subkey"),
+        value.cast("double").as("value"))
 
-    val stringMisses = statusDf
-      .filter(col("chunkType") === ChunkType.Column &&
-        col("status") === "miss" && col("colType") === "string")
-      .groupBy(col("file"))
-      .agg(count(lit(1)).cast("double").as("nmiss"),
-        sum(col("size")).cast("double").as("bmiss"))
-    val typedRows = stringMisses
-      .select(col("file"), lit(Metric.StringColumnMiss).as("metric"),
-        col("nmiss").as("value"), lit(Metric.Count).as("unit"))
-      .unionByName(stringMisses
-        .select(col("file"), lit(Metric.StringColumnMissBytes).as("metric"),
-          col("bmiss").as("value"), lit(Metric.Bytes).as("unit")))
+    val counterMetric =
+      when(col("status") === "small" && col("chunkType") === ChunkType.Column,
+        lit(Metric.SmallColumn))
+        .otherwise(concat(kind,
+          when(col("status") === "hit", lit("Hit"))
+            .when(col("status") === "small", lit("Small"))
+            .otherwise(lit("Miss"))))
+    val strMiss = col("chunkType") === ChunkType.Column &&
+      col("status") === "miss" && col("colType") === "string"
+    val stripePart = col("chunkType").isin(ChunkType.StripeData,
+        ChunkType.StripeIndex, ChunkType.StripeFooter) &&
+      (col("chunkType") === ChunkType.StripeData || col("parentSeq") =!= -1)
 
-    val byteMap = Seq(
-      lit(Metric.FileBytes), col("fileBytes").cast("double"),
-      lit(Metric.TransferBytes), col("transfer").cast("double"),
-      lit(Metric.DedupBytes), col("dedup").cast("double"),
-      lit(Metric.ExtraTransferBytes),
-      (col("probeOverhead") + col("headerOverhead")).cast("double")) ++
-      (if (emitSizes) Seq(lit(Metric.TotalBytes), col("fileBytes").cast("double"))
-       else Seq.empty)
-    val byteRows = perFile.select(col("file"), explode(map(byteMap: _*))
-        .as(Seq("metric", "value")))
-      .withColumn("unit", lit(Metric.Bytes))
+    // always-emitted byte metrics contribute 0 when a row doesn't qualify,
+    // so every file keeps its full byte-metric vector (zeros included);
+    // counter/size entries with a null metric are dropped before the explode
+    val entries = Seq(
+      entry(lit(Metric.FileBytes), when(topLevel, col("size")).otherwise(lit(0L))),
+      entry(lit(Metric.TransferBytes), when(sent, col("size")).otherwise(lit(0L))),
+      entry(lit(Metric.DedupBytes),
+        when(col("status").isin("hit", "hit_linked"), col("size")).otherwise(lit(0L))),
+      entry(lit(Metric.ExtraTransferBytes),
+        when(probed, lit(Dedup.Wire.SigProbe)).otherwise(lit(0L))),
+      entry(when(probed || col("status") === "small", counterMetric), lit(1L)),
+      entry(when(strMiss, lit(Metric.StringColumnMiss)), lit(1L)),
+      entry(when(strMiss, lit(Metric.StringColumnMissBytes)), col("size"))
+    ) ++ (if (!emitSizes) Seq.empty else Seq(
+      entry(lit(Metric.TotalBytes), when(topLevel, col("size")).otherwise(lit(0L))),
+      entry(when(stripePart, lit(Metric.StripeSize)), col("size"),
+        when(col("chunkType") === ChunkType.StripeData, col("seq"))
+          .otherwise(col("parentSeq"))),
+      entry(when(col("chunkType") === ChunkType.FileFooter, lit(Metric.FooterSize)),
+        col("size"), col("seq"))
+    ))
 
-    val base = byteRows
-      .unionByName(counters.select("file", "metric", "value", "unit"))
-      .unionByName(typedRows)
-
-    if (!emitSizes) base else {
-      val stripeSizes = statusDf
-        .filter(col("chunkType").isin(ChunkType.StripeData, ChunkType.StripeIndex,
-            ChunkType.StripeFooter) &&
-          (col("chunkType") === ChunkType.StripeData || col("parentSeq") =!= -1))
-        .groupBy(col("file"),
-          when(col("chunkType") === ChunkType.StripeData, col("seq"))
-            .otherwise(col("parentSeq")).as("__stripe"))
-        .agg(sum(col("size")).cast("double").as("value"))
-        .select(col("file"), lit(Metric.StripeSize).as("metric"),
-          col("value"), lit(Metric.Bytes).as("unit"))
-      val footerSizes = statusDf.filter(col("chunkType") === ChunkType.FileFooter)
-        .select(col("file"), lit(Metric.FooterSize).as("metric"),
-          col("size").cast("double").as("value"), lit(Metric.Bytes).as("unit"))
-      base.unionByName(stripeSizes).unionByName(footerSizes)
-    }
+    statusDf
+      .select(col("file"),
+        explode(filter(array(entries: _*), e => e.getField("metric").isNotNull))
+          .as("e"))
+      .groupBy(col("file"), col("e.metric").as("metric"), col("e.subkey").as("subkey"))
+      .agg(sum(col("e.value")).as("value"))
+      .select(col("file"), col("metric"),
+        // the per-file wire header joins the probe overhead after the agg —
+        // it is a per-file constant, not a per-chunk contribution
+        when(col("metric") === Metric.ExtraTransferBytes,
+          col("value") + length(col("file")) + lit(Dedup.Wire.FileHeaderFixed))
+          .otherwise(col("value")).as("value"),
+        when(col("metric").endsWith("Bytes") || col("metric").endsWith("Size"),
+          lit(Metric.Bytes)).otherwise(lit(Metric.Count)).as("unit"))
   }
 }

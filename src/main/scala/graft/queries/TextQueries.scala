@@ -63,6 +63,25 @@ object TextQueries {
     */
   val MinHashK = 12
   val MinHashR = 3
+  /** Largest prime below 2^29: keeps h1 + k·h2 (< 2^28 + K·2^28) inside
+    * BIGINT in both engines — DuckDB errors on BIGINT overflow rather than
+    * wrapping, so the scheme must never approach 2^63.
+    */
+  val MinHashPrime = 536870909L
+
+  /** DuckDB mirror of [[minhashBands]]: expects a `sh(doc_id, s)` CTE in
+    * scope, adds `shh` (two 28-bit pieces of one md5), `mh` (K derived
+    * min-hashes) and `bands` (banded keys).
+    */
+  private def minhashBandCtes: String =
+    s"""shh AS (SELECT doc_id,
+       |          CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h1,
+       |          CAST('0x' || substr(md5(s), 8, 7) AS BIGINT) AS h2 FROM sh),
+       |mh AS (SELECT doc_id, k, min((h1 + k * h2) % $MinHashPrime) AS mv
+       |       FROM shh, UNNEST(range(0, $MinHashK)) AS t(k) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, k // $MinHashR AS band,
+       |                 string_agg(CAST(mv AS VARCHAR), '|' ORDER BY k) AS bkey
+       |          FROM mh GROUP BY 1, 2)""".stripMargin
   val JaccardThreshold = 0.8
 
   /** KMV sketch size (k smallest hash values kept per group). */
@@ -97,11 +116,22 @@ object TextQueries {
     * shape.
     */
   private def minhashBands(sh: DataFrame): DataFrame = {
+    // ONE md5 per shingle, K derived hashes g_k = (h1 + k·h2) mod p
+    // (Kirsch–Mitzenmacher two-hash scheme — the standard replacement for K
+    // independent hash functions). K separate md5 calls dominated this
+    // pipeline's profile; the derived hashes are three integer ops each,
+    // and the min-aggregate runs over BIGINTs instead of 32-char strings.
+    val withH = sh
+      .withColumn("__h", md5(col("s")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(__h, 1, 7), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(__h, 8, 7), 16, 10) AS BIGINT)").as("h2"))
     val mins = (0 until MinHashK).map(k =>
-      min(md5(concat_ws(":", lit(k), col("s")))).as(s"h$k"))
-    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min((col("h1") + lit(k.toLong) * col("h2")) % MinHashPrime).as(s"h$k"))
+    val sig = withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = (0 until MinHashK / MinHashR).map { b =>
-      val cols = (b * MinHashR until (b + 1) * MinHashR).map(k => col(s"h$k"))
+      val cols = (b * MinHashR until (b + 1) * MinHashR)
+        .map(k => col(s"h$k").cast("string"))
       struct(lit(b).as("band"), concat_ws("|", cols: _*).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
@@ -113,7 +143,11 @@ object TextQueries {
     * (ida < idb), optionally restricted to a candidate-pair set (the LSH
     * path — only candidates are verified).
     */
-  private def jaccardOf(sh: DataFrame, cands: Option[DataFrame]): DataFrame = {
+  private def jaccardOf(sh: DataFrame, cands0: Option[DataFrame]): DataFrame = {
+    // the candidate set feeds THREE plan branches (both semi-join prunes +
+    // the pair restriction); without materialization the whole upstream
+    // LSH/prefix self-join re-executes per branch
+    val cands = cands0.map(_.cache())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // prune each join side to docs that appear in candidates BEFORE the
     // shingle-match join — the LSH verify stage then scales with the
@@ -246,6 +280,7 @@ object TextQueries {
         // double ceil() overshoot (ceil(15*0.8) = 13 in floating point)
         .filter(col("rnk") <= col("n") - floor(col("n") * JaccardThreshold) + 1)
         .select("doc_id", "s")
+        .cache() // both sides of the prefix self-join
       val cands = prefix.as("a")
         .join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -332,8 +367,14 @@ object TextQueries {
       // near-empty partitions
       val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
         (nodes.count() / 5000L).toInt + 1))
-      val partEdges = edges.repartition(parts, col("src")).cache()
-      var labels = nodes.repartition(parts, col("doc_id"))
+      // self-loops fold "min(own label, ...)" into the neighbor aggregate:
+      // each round is ONE join + ONE agg instead of two joins, and the
+      // groupBy's own shuffle partitions the result — no explicit
+      // repartition exchange per round
+      val partEdges = edges
+        .unionByName(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+        .repartition(parts, col("dst")).cache()
+      var labels = nodes
         .withColumn("label", col("doc_id"))
         .localCheckpoint(true)
       // Convergence check: next.label = min(own, neighbors') is monotone
@@ -343,20 +384,25 @@ object TextQueries {
         df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       var prevSum = labelSum(labels)
       var converged = false
-      while (!converged) {
-        val next = labels.as("l")
-          .join(partEdges, col("l.doc_id") === col("src"))
-          .join(labels.select(col("doc_id").as("dst_id"), col("label").as("nl")),
-            col("dst") === col("dst_id"))
-          .groupBy(col("l.doc_id").as("doc_id"))
-          .agg(least(min(col("l.label")), min(col("nl"))).as("label"))
-          .repartition(parts, col("doc_id"))
-          .localCheckpoint(true)
-        val nextSum = labelSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        labels = next
-      }
+      // AQE off for the loop body: each round's shuffles are a handful of
+      // already-right-sized partitions, and AQE's per-stage re-planning
+      // turns every round into several sequential driver round-trips
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        while (!converged) {
+          val next = partEdges
+            .join(labels, col("dst") === col("doc_id"))
+            .groupBy(col("src").as("doc_id2"))
+            .agg(min(col("label")).as("label"))
+            .withColumnRenamed("doc_id2", "doc_id")
+            .localCheckpoint(true)
+          val nextSum = labelSum(next)
+          converged = nextSum == prevSum
+          prevSum = nextSum
+          labels = next
+        }
+      } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       df.select(col("doc_id"))
         .join(nodes, Seq("doc_id"), "left_anti")
         .withColumn("label", col("doc_id"))
@@ -634,11 +680,7 @@ object TextQueries {
 
     "d06_minhash_lsh_pairs" ->
       s"""$ShingleSqlCtes,
-         |mh AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mv
-         |       FROM sh, UNNEST(range(0, $MinHashK)) AS t(k) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, k // $MinHashR AS band,
-         |                 string_agg(mv, '|' ORDER BY k) AS bkey
-         |          FROM mh GROUP BY 1, 2),
+         |$minhashBandCtes,
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |         FROM bands a JOIN bands b ON a.band = b.band
          |           AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -654,11 +696,7 @@ object TextQueries {
 
     "d10_neardup_clusters" ->
       s"""${ShingleSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |mh AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mv
-         |       FROM sh, UNNEST(range(0, $MinHashK)) AS t(k) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, k // $MinHashR AS band,
-         |                 string_agg(mv, '|' ORDER BY k) AS bkey
-         |          FROM mh GROUP BY 1, 2),
+         |$minhashBandCtes,
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |         FROM bands a JOIN bands b ON a.band = b.band
          |           AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
