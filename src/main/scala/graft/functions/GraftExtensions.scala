@@ -22,5 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString, "docroot" -> ""))
         CosineSimilarity(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`nfc_normalize`", "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        NfcNormalize(exprs(0))
+      }))
   }
 }

@@ -206,6 +206,57 @@ object TextQueries {
       .replace("strpos(", strposFn + "(")
   }
 
+  /** d19 SQL — IDENTICAL text in both engines: `nfc_normalize` is DuckDB
+    * built-in and a graft native Catalyst expression in Spark (same name),
+    * and the combining acute (U+0301) is embedded as a raw UTF-8 character
+    * so neither engine's escape rules are involved. Both engines count
+    * string length in code points, so raw/nfc lengths compare exactly.
+    */
+  private val normalizeSql: String = {
+    val mark = "\u0301"
+    s"""WITH dec AS (
+       |  SELECT doc_id, replace(text, 'a', 'a$mark') AS decorated FROM documents),
+       |n AS (SELECT doc_id, decorated, nfc_normalize(decorated) AS norm FROM dec)
+       |SELECT doc_id, length(decorated) AS raw_len, length(norm) AS nfc_len,
+       |  md5(norm) AS norm_hash
+       |FROM n""".stripMargin
+  }
+
+  /** d20 SQL: inject deterministic contact strings from doc fields, then
+    * count + redact with patterns inside the RE2 ∩ Java-regex subset
+    * (character classes, escapes, bounded repeats — no lookaround).
+    */
+  private def piiRedactSql(spark: Boolean): String = {
+    val cast = if (spark) "STRING" else "VARCHAR"
+    val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+"
+    // Spark SQL string literals process backslash escapes, DuckDB's don't:
+    // the regex engine must see \+ on both sides
+    val phoneRe = if (spark) "\\\\+1-555-[0-9]{4}" else "\\+1-555-[0-9]{4}"
+    def countAll(re: String) =
+      if (spark) s"CAST(size(regexp_extract_all(t, '$re', 0)) AS BIGINT)"
+      else s"CAST(len(regexp_extract_all(t, '$re')) AS BIGINT)"
+    def replAll(src: String, re: String, to: String) =
+      if (spark) s"regexp_replace($src, '$re', '$to')"
+      else s"regexp_replace($src, '$re', '$to', 'g')"
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    concat(text,
+       |      ' contact user', CAST(doc_id AS $cast), '@mail-', source, '.net',
+       |      repeat(concat(' cc backup', CAST(doc_id AS $cast), '@org-', source, '.com'),
+       |             CAST(doc_id % 3 AS INT)),
+       |      ' call +1-555-', lpad(CAST(doc_id % 10000 AS $cast), 4, '0')) AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id,
+       |    ${countAll(emailRe)} AS n_emails,
+       |    ${countAll(phoneRe)} AS n_phones,
+       |    ${replAll(replAll("t", emailRe, "<EMAIL>"), phoneRe, "<PHONE>")} AS clean
+       |  FROM aug)
+       |SELECT doc_id, n_emails, n_phones,
+       |  length(clean) AS clean_len, md5(clean) AS clean_hash
+       |FROM red""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash grouping (normalize → md5 → min-id canonical).
     "d01_exact_dedup" -> ((s, d) => {
@@ -586,6 +637,26 @@ object TextQueries {
            |WHERE u < CASE WHEN si % 2 = 0 THEN 1.0 ELSE 0.25 END""".stripMargin)
     }),
 
+    // Unicode normalization (NFC) via the native [[graft.functions.NfcNormalize]]
+    // expression — codegen'd, no UDF boundary. The corpus is ASCII, so the
+    // query first decorates it with decomposed accents ('a' + U+0301) to make
+    // composition observable; DuckDB's built-in nfc_normalize re-derives the
+    // same lengths and hashes independently.
+    "d19_text_normalize" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(normalizeSql)
+    }),
+
+    // PII redaction: email/phone scrub with per-doc counts. Deterministic
+    // contact strings are injected from doc fields (the corpus itself is
+    // synthetic words), then both engines count and redact with the same
+    // RE2-and-Java-compatible patterns. Pure per-row projection — the
+    // at-scale shape is a map-only pass, no shuffle.
+    "d20_pii_redact" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(piiRedactSql(spark = true))
+    }),
+
     // Sequence packing: each doc explodes into fixed 32-token windows with
     // stride 24 (8-token overlap) — the chunking step that turns documents
     // into training sequences. Pure per-doc explode + narrow projection; the
@@ -826,6 +897,10 @@ object TextQueries {
         |FROM sh JOIN bench USING (s5)
         |WHERE source <> 'src0'
         |GROUP BY source""".stripMargin,
+
+    "d19_text_normalize" -> normalizeSql,
+
+    "d20_pii_redact" -> piiRedactSql(spark = false),
 
     "d18_weighted_sample" ->
       s"""WITH h AS (SELECT doc_id, source,
