@@ -26,7 +26,14 @@ object SparkEntry {
       (StreamingQueries.queries, StreamingQueries.oracle)
     )
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CACHE CONTRACT: a query may `cache()` relations its plan reuses across
+    * branches (LSH candidate sets, shingle tables). Callers that run many
+    * queries in one session should `spark.catalog.clearCache()` after
+    * materializing each result — [[Verify]] and [[Bench]] do — or the cached
+    * relations accumulate for the life of the session.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.map(_._1).reduce(_ ++ _)
 

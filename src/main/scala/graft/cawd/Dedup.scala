@@ -61,14 +61,19 @@ object Dedup {
     */
   def markFirstOccurrence(chunks: DataFrame, ordCol: String,
                           store: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val key = struct(col("fileRank"), col(ordCol))
-    // min-over-window instead of aggregate + join-back on signature: ONE
-    // shuffle of the chunk table (signature-partitioned) instead of an agg
-    // exchange plus a second full-table join exchange
-    val marked = chunks
-      .withColumn(IsFirstCol,
-        key <=> min(key).over(Window.partitionBy(col("signature"))))
+    // aggregate + join-back rather than min-over-window: a window partitioned
+    // by signature buffers EVERY row of a hot signature (zero-filled chunks
+    // are common in dedup corpora) in one task — a spilling straggler at
+    // scale. The agg does map-side partial min (the shuffle carries ~one row
+    // per DISTINCT signature at high dup ratios), the join back is
+    // co-partitioned with the agg on `signature` (no extra exchange under
+    // AQE), and a skewed signature in the join is AQE-splittable.
+    val firsts = chunks.groupBy(col("signature"))
+      .agg(min(key).as("__first_key"))
+    val marked = chunks.join(firsts, Seq("signature"))
+      .withColumn(IsFirstCol, key <=> col("__first_key"))
+      .drop("__first_key")
     store match {
       case Some(s) =>
         val sigsOnly = s.select(col("signature")).distinct()

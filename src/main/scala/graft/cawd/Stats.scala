@@ -90,10 +90,17 @@ object Stats {
     // stripe, one FooterSize per footer chunk) from collapsing: it carries
     // the stripe/chunk id through the aggregate and is dropped afterwards,
     // so the rollup's percentile bundle still sees one row per instance.
+    // the unit travels WITH the entry (not re-derived from the metric name
+    // afterwards): vocabulary metrics whose unit is not implied by their
+    // suffix — TransferTime/ParsingOverhead are Milliseconds — would
+    // otherwise silently be labeled Count if ever emitted here
     val noKey = lit(null).cast("long")
-    def entry(metric: Column, value: Column, subkey: Column = noKey): Column =
+    def entry(metric: Column, value: Column, subkey: Column = noKey,
+              unit: String = Metric.Count): Column =
       struct(metric.as("metric"), subkey.cast("long").as("subkey"),
-        value.cast("double").as("value"))
+        value.cast("double").as("value"), lit(unit).as("unit"))
+    def byteEntry(metric: Column, value: Column, subkey: Column = noKey): Column =
+      entry(metric, value, subkey, Metric.Bytes)
 
     val counterMetric =
       when(col("status") === "small" && col("chunkType") === ChunkType.Column,
@@ -112,21 +119,21 @@ object Stats {
     // so every file keeps its full byte-metric vector (zeros included);
     // counter/size entries with a null metric are dropped before the explode
     val entries = Seq(
-      entry(lit(Metric.FileBytes), when(topLevel, col("size")).otherwise(lit(0L))),
-      entry(lit(Metric.TransferBytes), when(sent, col("size")).otherwise(lit(0L))),
-      entry(lit(Metric.DedupBytes),
+      byteEntry(lit(Metric.FileBytes), when(topLevel, col("size")).otherwise(lit(0L))),
+      byteEntry(lit(Metric.TransferBytes), when(sent, col("size")).otherwise(lit(0L))),
+      byteEntry(lit(Metric.DedupBytes),
         when(col("status").isin("hit", "hit_linked"), col("size")).otherwise(lit(0L))),
-      entry(lit(Metric.ExtraTransferBytes),
+      byteEntry(lit(Metric.ExtraTransferBytes),
         when(probed, lit(Dedup.Wire.SigProbe)).otherwise(lit(0L))),
       entry(when(probed || col("status") === "small", counterMetric), lit(1L)),
       entry(when(strMiss, lit(Metric.StringColumnMiss)), lit(1L)),
-      entry(when(strMiss, lit(Metric.StringColumnMissBytes)), col("size"))
+      byteEntry(when(strMiss, lit(Metric.StringColumnMissBytes)), col("size"))
     ) ++ (if (!emitSizes) Seq.empty else Seq(
-      entry(lit(Metric.TotalBytes), when(topLevel, col("size")).otherwise(lit(0L))),
-      entry(when(stripePart, lit(Metric.StripeSize)), col("size"),
+      byteEntry(lit(Metric.TotalBytes), when(topLevel, col("size")).otherwise(lit(0L))),
+      byteEntry(when(stripePart, lit(Metric.StripeSize)), col("size"),
         when(col("chunkType") === ChunkType.StripeData, col("seq"))
           .otherwise(col("parentSeq"))),
-      entry(when(col("chunkType") === ChunkType.FileFooter, lit(Metric.FooterSize)),
+      byteEntry(when(col("chunkType") === ChunkType.FileFooter, lit(Metric.FooterSize)),
         col("size"), col("seq"))
     ))
 
@@ -135,14 +142,13 @@ object Stats {
         explode(filter(array(entries: _*), e => e.getField("metric").isNotNull))
           .as("e"))
       .groupBy(col("file"), col("e.metric").as("metric"), col("e.subkey").as("subkey"))
-      .agg(sum(col("e.value")).as("value"))
+      .agg(sum(col("e.value")).as("value"), first(col("e.unit")).as("unit"))
       .select(col("file"), col("metric"),
         // the per-file wire header joins the probe overhead after the agg —
         // it is a per-file constant, not a per-chunk contribution
         when(col("metric") === Metric.ExtraTransferBytes,
           col("value") + length(col("file")) + lit(Dedup.Wire.FileHeaderFixed))
           .otherwise(col("value")).as("value"),
-        when(col("metric").endsWith("Bytes") || col("metric").endsWith("Size"),
-          lit(Metric.Bytes)).otherwise(lit(Metric.Count)).as("unit"))
+        col("unit"))
   }
 }

@@ -164,15 +164,16 @@ object StreamingEngine {
     import spark.implicits._
     // ranks are per-batch; earlier batches' chunks are already in the store,
     // so cross-batch ordering is enforced by store membership, not rank.
-    // The rank window is unpartitioned — one sort of the batch's PATH LIST
-    // (metadata rows the driver's file source already enumerated), while the
-    // paths themselves never collect() onto the driver.
-    val ranked = batch.select(col("path"))
-      .withColumn("fileRank",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("path"))) - 1).cast("int"))
-      .select(regexp_replace(col("path"), "^file:", "").as("path"),
-        col("fileRank"))
+    // Global ordinals WITHOUT an unpartitioned window (which would sort a
+    // 10⁷-file backfill batch in one task): range-partitioned parallel sort,
+    // then zipWithIndex's per-partition count pass stitches the offsets —
+    // both phases distribute, and the paths never collect() onto the driver.
+    val ranked = batch.select(col("path")).as[String].rdd
+      .map(_.replaceFirst("^file:", ""))
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (p, i) => (p, i.toInt) }
+      .toDF("path", "fileRank")
       .as[(String, Int)]
       .repartition(spark.sparkContext.defaultParallelism)
     // ORC streams dedup with the NAIVE vocabulary, so chunk in Naive mode

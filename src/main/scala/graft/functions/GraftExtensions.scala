@@ -22,6 +22,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString, "docroot" -> ""))
         CosineSimilarity(exprs(0), exprs(1))
       }))
+    // Spark ships codegen'd Bloom expressions (BloomFilterAggregate /
+    // BloomFilterMightContain) for its runtime join filters but does not
+    // register them in the SQL function registry; exposing them here gives
+    // the decontamination pipeline (d17) a native, whole-stage-codegen
+    // bit-test instead of a per-row Scala UDF over a broadcast sketch.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`graft_bloom_agg`", "expectedNum" -> "3",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`graft_might_contain`", "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

@@ -56,6 +56,23 @@ object StreamingQueries {
   }
   private def deferDelete(dir: String): Unit = { cleanupHook; deferred.add(dir) }
 
+  /** Eagerly reclaim a terminated query's scratch (tmpfs RAM otherwise
+    * accumulates for the life of the session): unload every loaded
+    * state-store provider and halt the maintenance task FIRST — maintenance
+    * against a deleted checkpoint dir error-loops — then delete. The next
+    * streaming query restarts maintenance lazily on its first state access.
+    * The shutdown-hook delete stays as the fallback for a failed delete.
+    */
+  private def releaseStreamScratch(dirs: String*): Unit = {
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    val conf = new Configuration()
+    dirs.foreach { d =>
+      try { val p = new Path(d); p.getFileSystem(conf).delete(p, true) }
+      catch { case _: Throwable => deferDelete(d) }
+    }
+  }
+
   /** Shared memory-sink harness: start the query against a uniquely-named
     * sink, drain it (AvailableNow inside `start`), project + materialize
     * the sink table, drop the view.
@@ -83,10 +100,7 @@ object StreamingQueries {
         case Some(v) => s.conf.set("spark.sql.streaming.checkpointLocation", v)
         case None => s.conf.unset("spark.sql.streaming.checkpointLocation")
       }
-      // Deleted at JVM exit, NOT here: the terminated query's state-store
-      // providers stay loaded until the maintenance thread unloads them,
-      // and maintenance against a deleted checkpoint dir error-loops.
-      deferDelete(ckpt)
+      releaseStreamScratch(ckpt)
     }
     val out = project(s.table(name)).localCheckpoint(true)
     s.catalog.dropTempView(name)
@@ -230,7 +244,7 @@ object StreamingQueries {
           .orderBy("file", "metric")
           // materialize before the temp tree is deleted
           .localCheckpoint(true)
-      } finally deferDelete(root.toString) // ckpt inside: same unload hazard
+      } finally releaseStreamScratch(root.toString) // ckpt inside the tree
     })
   )
 

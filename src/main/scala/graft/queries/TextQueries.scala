@@ -431,8 +431,13 @@ object TextQueries {
       // Convergence check: next.label = min(own, neighbors') is monotone
       // non-increasing per node, so the label SUM strictly decreases until
       // the fixpoint — one narrow agg per round instead of a self-join.
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      // Summed as DECIMAL(38,0): a BIGINT sum of large 64-bit doc_ids over a
+      // large corpus overflows (ANSI mode throws mid-loop; non-ANSI could
+      // wrap to a false fixpoint), while decimal headroom (~1e38) covers
+      // ~1e19 nodes at the max doc_id.
+      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
       var prevSum = labelSum(labels)
       var converged = false
       // AQE off for the loop body: each round's shuffles are a handful of
@@ -449,7 +454,7 @@ object TextQueries {
             .withColumnRenamed("doc_id2", "doc_id")
             .localCheckpoint(true)
           val nextSum = labelSum(next)
-          converged = nextSum == prevSum
+          converged = nextSum.compareTo(prevSum) == 0
           prevSum = nextSum
           labels = next
         }
@@ -603,11 +608,23 @@ object TextQueries {
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("source"), explode(expr(shingle5Expr)).as("s5"))
       val bench = ex.filter(col("source") === "src0").select("s5").distinct().cache()
-      val bloom = bench.stat.bloomFilter("s5", math.max(bench.count(), 1L), 0.03)
-      val bloomB = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((x: String) => x != null && bloomB.value.mightContainString(x))
+      // Native Bloom path (no UDF): Spark's own BloomFilterAggregate builds
+      // the sketch over xxhash64(s5) in one distributed agg; the serialized
+      // filter (a few MB) comes back as ONE row and re-enters the plan as a
+      // binary literal, so BloomFilterMightContain's bit-test runs inside
+      // whole-stage codegen on the narrow corpus-side stream.
+      val nItems = math.max(bench.count(), 1L)
+      // m = ceil(-n·ln(p) / ln(2)^2) optimal bits at fpp = 3%
+      val nBits = math.max(64L,
+        math.ceil(-nItems * math.log(0.03) / (math.log(2) * math.log(2))).toLong)
+      val bloomBytes = bench
+        .agg(call_function("graft_bloom_agg", xxhash64(col("s5")),
+          lit(nItems), lit(nBits)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
       ex.filter(col("source") =!= "src0")
-        .filter(mightContain(col("s5")))          // bloom prefilter: narrow, no shuffle
+        // bloom prefilter: narrow, no shuffle, codegen'd bit-test
+        .filter(call_function("graft_might_contain",
+          lit(bloomBytes), xxhash64(col("s5"))))
         .join(broadcast(bench), Seq("s5"), "left_semi") // exact FP removal
         .dropDuplicates("doc_id", "s5")           // only survivors reach the shuffle
         .groupBy("source").agg(
