@@ -221,10 +221,10 @@ object CawdEngine {
     val status = Dedup.flatStatus(cached.toDF(), dedupable, smallThreshold,
       store = StreamingEngine.readStore(spark, storeDir)).cache()
     try {
-      status.filter(col("status") === "miss")
-        .select(col("signature"), col("chunkType"), col("size"))
-        .write.mode("overwrite")
-        .parquet(s"$storeDir/batch=${StreamingEngine.nextCliBatchId(spark, storeDir)}")
+      StreamingEngine.writeStorePartition(
+        status.filter(col("status") === "miss")
+          .select(col("signature"), col("chunkType"), col("size")),
+        s"$storeDir/batch=${StreamingEngine.nextCliBatchId(spark, storeDir)}")
       // rollup materializes before the caches are released
       Stats.rollup(Stats.fromStatus(status).unionByName(timingStats(cached)))
         .localCheckpoint(true)

@@ -75,6 +75,33 @@ object Dedup {
       .withColumn(IsFirstCol, key <=> col("__first_key"))
       .drop("__first_key")
     store match {
+      // Signature-bucketed store (the StreamingEngine layout): the batch's
+      // distinct signatures (a) prune the store scan to only the sbucket
+      // partitions they can live in — partition pruning against a
+      // 10⁹-signature store reads just the touched buckets — and (b)
+      // broadcast into the semi-join when small, so the store side is
+      // scanned NARROW and never shuffled. At a bounded per-batch probe set
+      // vs an ever-growing store, that flips the old plan (shuffle the
+      // whole store per batch) into per-batch work proportional to the
+      // batch. Oversized probe sets (a backfill batch) fall back to the
+      // shuffled join rather than a driver-breaking broadcast.
+      case Some(s) if s.columns.contains(StreamingEngine.SigBucketCol) =>
+        val probeSigs = chunks.select(col("signature")).distinct()
+        val buckets = probeSigs
+          .select(StreamingEngine.sigBucket(col("signature")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (buckets.isEmpty) marked.withColumn(InStoreCol, lit(false))
+        else {
+          val pruned = s.filter(col(StreamingEngine.SigBucketCol).isin(buckets: _*))
+          val probeSide =
+            if (probeSigs.count() <= MaxBroadcastProbeSigs) broadcast(probeSigs)
+            else probeSigs
+          val hits = pruned.join(probeSide, Seq("signature"), "left_semi")
+            .select(col("signature")).distinct()
+            .withColumn(InStoreCol, lit(true))
+          marked.join(hits, Seq("signature"), "left")
+            .withColumn(InStoreCol, coalesce(col(InStoreCol), lit(false)))
+        }
       case Some(s) =>
         val sigsOnly = s.select(col("signature")).distinct()
           .withColumn(InStoreCol, lit(true))
@@ -83,6 +110,12 @@ object Dedup {
       case None => marked.withColumn(InStoreCol, lit(false))
     }
   }
+
+  /** Probe sets up to this many distinct signatures broadcast into the
+    * store semi-join (~30 MB of 20 B signatures); larger batches (backfill)
+    * fall back to a shuffled join.
+    */
+  val MaxBroadcastProbeSigs: Long = 1L << 20
 
   /** Flat (non-hierarchical) dedup: naive ORC, column-based ORC, parquet.
     *

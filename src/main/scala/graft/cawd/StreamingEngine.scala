@@ -29,15 +29,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     micro-batch granularity (files within a batch are ranked by path,
   *     batches by arrival). No watermark — there is no event time.
   *
-  * At scale the store partitions should additionally be bucketed by
-  * signature so the per-batch anti-join is a co-partitioned probe;
-  * eviction/TTL (absent in the reference) is a retention delete of old
+  * Store layout `batch=N/sbucket=K`: every partition is additionally
+  * bucketed by `xxhash64(signature) mod` [[NumSigBuckets]], so a per-batch
+  * probe prunes the store scan to the buckets its signatures can live in
+  * and never shuffles the store (see [[Dedup.markFirstOccurrence]]).
+  * Eviction/TTL (absent in the reference) is a retention delete of old
   * batch partitions.
   */
 object StreamingEngine {
 
   /** Chunk-store schema columns persisted across batches. */
   private val StoreCols = Seq("signature", "chunkType", "size")
+
+  /** Signature-bucket partition column of the persisted store. */
+  val SigBucketCol = "sbucket"
+
+  /** Store bucket fan-out. 256 keeps per-bucket directories coarse enough
+    * for cheap listing while a small batch (touching ≪256 distinct buckets
+    * only when it has ≪256 signatures) still prunes most of a huge store.
+    */
+  val NumSigBuckets = 256
+
+  /** Deterministic signature → bucket assignment, usable on both the write
+    * path and the probe's pruning filter.
+    */
+  def sigBucket(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(sig), lit(NumSigBuckets.toLong)).cast("int")
+
+  /** Write one store partition bucketed by signature: `dir/sbucket=K/...`.
+    * Overwrite replaces the whole `batch=N` directory — retry-safe, same as
+    * the previous flat layout.
+    */
+  def writeStorePartition(df: DataFrame, dir: String): Unit =
+    df.withColumn(SigBucketCol, sigBucket(col("signature")))
+      .write.mode("overwrite").partitionBy(SigBucketCol).parquet(dir)
 
   /** Explicit store schema: a batch with zero misses still writes its
     * (empty) partition, and schema INFERENCE over a partition holding only
@@ -52,7 +77,9 @@ object StreamingEngine {
     org.apache.spark.sql.types.StructField("size",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("batch",
-      org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(SigBucketCol,
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Store contents visible to `beforeBatch` (exclusive): the union of all
     * earlier batches' partitions. `None` reads everything (external
@@ -117,7 +144,7 @@ object StreamingEngine {
       .select(StoreCols.map(col): _*)
       .dropDuplicates("signature")
       .localCheckpoint(true) // sever lineage from the files about to vanish
-    merged.write.mode("overwrite").parquet(s"$storeDir/batch=$mergeInto")
+    writeStorePartition(merged, s"$storeDir/batch=$mergeInto")
     mergeIds.filter(_ != mergeInto).foreach { b =>
       fs.delete(new Path(p, s"batch=$b"), true)
     }
@@ -193,10 +220,10 @@ object StreamingEngine {
       .cache()
     try {
       // insert-on-miss: this batch's first occurrences, keyed to its own
-      // partition (overwrite = retry-safe)
-      status.filter(col("status") === "miss")
-        .select(StoreCols.map(col): _*)
-        .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      // partition (overwrite = retry-safe), bucketed by signature
+      writeStorePartition(
+        status.filter(col("status") === "miss").select(StoreCols.map(col): _*),
+        s"$storeDir/batch=$batchId")
       Stats.fromStatus(status)
         .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
       // chunk-status table for the external oracle: cross-batch dedup is

@@ -82,9 +82,17 @@ private[sources] class ChunkScanBuilder(props: Map[String, String])
 }
 
 private[sources] class ChunkScan(props: Map[String, String], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Directories below this file count plan on the driver (a Spark job has
+    * ~ms overhead per launch; pointless for a handful of footers). Option
+    * `distributedPlanThreshold` overrides — tests set 1 to force the
+    * distributed path.
+    */
+  private val DistributedPlanCutoff =
+    props.get("distributedplanthreshold").map(_.toInt).getOrElse(32)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val path = props.getOrElse("path",
@@ -104,12 +112,34 @@ private[sources] class ChunkScan(props: Map[String, String], required: StructTyp
     }
     val suffix = props.getOrElse("suffix",
       if (fmt == CawdEngine.Orc) ".orc" else ".parquet")
-    CawdEngine.listFiles(path, suffix).flatMap { case (file, rank) =>
+    val files = CawdEngine.listFiles(path, suffix)
+    def planOne(file: String, rank: Int): Seq[ChunkInputPartition] =
       CawdEngine.planFile(file, rank, fmt, orcMode)
         .pipe(ms => CawdEngine.assignBuckets(ms))
         .groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (_, ms) => ChunkInputPartition(file, ms.map(_._1).toArray) }
-    }.toArray
+    // Two-phase distributed planning: footer/header parsing is one metadata
+    // read per file — serial on the driver it becomes the planner bottleneck
+    // at 10⁴+ files, so beyond a small-directory cutoff the per-file plan
+    // step itself runs as a Spark job (the partition descriptors that come
+    // back are the same either way; read parallelism still scales with
+    // BYTES via the in-file buckets).
+    if (files.length < DistributedPlanCutoff)
+      files.flatMap { case (f, r) => planOne(f, r) }.toArray
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val slices = math.min(files.length,
+        spark.sparkContext.defaultParallelism * 4)
+      logInfo(s"graft-chunks: planning ${files.length} files distributed " +
+        s"($slices slices)")
+      spark.sparkContext
+        .parallelize(files, slices)
+        .flatMap { case (f, r) => planOne(f, r) }
+        .collect()
+        .sortBy(p => (p.metas.headOption.map(_.fileRank).getOrElse(0),
+          p.metas.headOption.map(_.seq).getOrElse(0)))
+        .toArray[InputPartition]
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -50,6 +50,19 @@ class StreamingSpec extends AnyFunSuite {
     val storeDf = spark.read.parquet(store)
     assert(storeDf.count() == storeDf.select("signature").distinct().count())
 
+    // store partitions are signature-bucketed (batch=N/sbucket=K), and the
+    // probe broadcasts the batch's signatures against the pruned store scan
+    // instead of shuffling the store
+    assert(new java.io.File(store, "batch=0").listFiles()
+      .exists(_.getName.startsWith("sbucket=")),
+      "store partitions bucketed by signature")
+    val probeChunks = CawdEngine.chunkFiles(spark,
+      Seq((s"$inDir/b.parquet", 0)), CawdEngine.Parquet, OrcChunker.Naive).toDF()
+    val probePlan = Dedup.markFirstOccurrence(probeChunks, "seq",
+      StreamingEngine.readStore(spark, store)).queryExecution.executedPlan.toString
+    assert(probePlan.contains("BroadcastExchange"),
+      s"store probe must broadcast the batch signature set, got:\n$probePlan")
+
     // retry idempotency: replaying the LAST batch (as after a partial
     // failure) must leave store contents and stats byte-for-byte unchanged
     val lastBatch = spark.read.parquet(stats)

@@ -52,6 +52,22 @@ class ChunkDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pqRead.toSeq == pqDirect.map(c => (c.seq, c.chunkType, c.size)))
   }
 
+  test("distributed partition planning returns the same partitions as driver-side") {
+    val driverSide = spark.read.format("graft-chunks")
+      .option("format", "orc").load(s"$dir/orc")
+      .select("file", "seq", "chunkType", "size").collect()
+      .map(_.toString).sorted
+    // threshold 1 forces the plan-files-as-a-Spark-job path even for this
+    // one-file directory
+    val distributed = spark.read.format("graft-chunks")
+      .option("format", "orc").option("distributedPlanThreshold", "1")
+      .load(s"$dir/orc")
+      .select("file", "seq", "chunkType", "size").collect()
+      .map(_.toString).sorted
+    assert(distributed.sameElements(driverSide),
+      "distributed planning must produce identical chunk partitions")
+  }
+
   test("signature projection hashes; pruned scan plan carries only requested columns") {
     val df = spark.read.format("graft-chunks")
       .option("format", "orc").load(s"$dir/orc")
