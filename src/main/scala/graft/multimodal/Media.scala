@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,13 +11,17 @@ import org.apache.spark.sql.functions._
   * rows (the Scala analogue of `mapInPandas` — one iterator per partition,
   * vectorizable, no per-row UDF dispatch).
   *
-  * DECODE IS A STUB: this container has no image/audio codecs, so
-  * [[FakeCodec]] derives deterministic pseudo-metadata from the blob's md5
-  * — clearly marked, swappable for a real codec binding. Everything
-  * AROUND the decode — the binary schema, the partition-iterator batch
-  * shape, the feature-struct output schema, the downstream aggregations —
-  * is real and oracle-verified (the fake values are md5-reproducible in
-  * DuckDB).
+  * The IMAGE path is a REAL codec: the corpus's image rows carry genuine
+  * PNG bytes (deterministically rendered, so the table is reproducible) and
+  * [[ImageCodec]] decodes them with `javax.imageio` — width/height come
+  * from decoded pixels, and the DuckDB oracle independently re-parses the
+  * PNG IHDR header from the exported blob, so a wrong decode fails the
+  * value compare. AUDIO/VIDEO decode remains a STUB ([[FakeCodec]], this
+  * container has no audio/video codecs): deterministic pseudo-metadata from
+  * the blob's digest — clearly marked, swappable for an ffmpeg-class
+  * binding; everything around it (binary schema, partition-iterator batch
+  * shape, output schema, downstream aggregations) is real and
+  * oracle-verified.
   */
 object Media {
 
@@ -27,41 +33,95 @@ object Media {
       media_id: Long,
       modality: String,
       n_bytes: Long,
-      width: Int,         // image/video: fake-decoded dims
+      width: Int,         // image: REAL decoded dims; audio/video: stub
       height: Int,
       n_frames: Int,      // video: sampled frame count; 1 for image, 0 audio
       feature: Array[Double]) // 8-dim embedding stand-in
 
-  /** STUB codec — replace with real JNI/codec bindings in production.
-    * All values are pure functions of md5(content) so the pipeline is
-    * deterministic and externally checkable.
+  /** Digest shared with the DuckDB oracle: md5 over the UPPERCASE hex
+    * encoding of the bytes. DuckDB's `md5` accepts only VARCHAR and PNG
+    * bytes are not valid UTF-8, so both engines hex first (Spark's `hex`
+    * and DuckDB's `hex` both emit uppercase); `md5(hex(content))` is then
+    * byte-identical across engines.
+    */
+  def hexDigest(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach(x => sb.append("%02X".format(x)))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("US-ASCII"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def nib(h: String, i: Int): Int = Character.digit(h.charAt(i), 16)
+
+  /** REAL image codec over `javax.imageio` (PNG/JPEG — the formats the JDK
+    * ships decoders for; a production build would swap in libjpeg-turbo /
+    * libvips behind the same two functions).
+    */
+  object ImageCodec {
+
+    /** Deterministic render + PNG encode: the stand-in for genuine ingest
+      * bytes. Pixels are a pure function of (seed, x, y), so the encoded
+      * bytes — and everything the oracle derives from them — are stable
+      * across runs.
+      */
+    def encodePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](width * height)
+      var y = 0; var i = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          px(i) = (((x + seed) & 0xFF) << 16) |
+            (((y + (seed >> 8)) & 0xFF) << 8) |
+            (((x ^ y) + (seed >> 16)) & 0xFF)
+          x += 1; i += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, width, height, px, 0, width)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode real image bytes (any ImageIO-supported container: PNG,
+      * JPEG, ...) → (width, height) from the decoded pixel raster.
+      */
+    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "ImageCodec: undecodable image bytes")
+      (img.getWidth, img.getHeight)
+    }
+  }
+
+  /** STUB codec for AUDIO/VIDEO only — replace with real JNI/codec bindings
+    * in production. All values are pure functions of [[hexDigest]](content)
+    * so the pipeline is deterministic and externally checkable.
     */
   object FakeCodec {
-    def md5Hex(b: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(b)
-        .map("%02x".format(_)).mkString
-
-    private def nib(h: String, i: Int): Int =
-      Character.digit(h.charAt(i), 16)
-
     def decode(row: MediaRow): MediaFeatures = {
-      val h = md5Hex(row.content)
+      val h = hexDigest(row.content)
       val width = 16 * (1 + nib(h, 0))   // 16..256
       val height = 16 * (1 + nib(h, 1))
       val frames = row.modality match {
         case "video" => 1 + nib(h, 2)    // deterministic frame-sample count
-        case "image" => 1
         case _       => 0
       }
-      val feat = (0 until 8).map(i => nib(h, 8 + i) / 15.0).toArray
       MediaFeatures(row.media_id, row.modality, row.content.length,
-        width, height, frames, feat)
+        width, height, frames, featureOf(h))
     }
   }
 
-  /** The corpus has no real media files; stand in opaque blobs derived from
-    * `documents.text` (utf-8 bytes) with a modality assignment — the
-    * PLUMBING (binary column, partition batching) is what's exercised.
+  /** 8-dim embedding stand-in from the digest — common to all modalities. */
+  private def featureOf(h: String): Array[Double] =
+    (0 until 8).map(i => nib(h, 8 + i) / 15.0).toArray
+
+  /** The corpus has no ingest media files; IMAGE rows get genuine
+    * deterministically-rendered PNG bytes (dims/seed derived from the doc
+    * text digest), audio/video rows carry opaque utf-8 blobs. Encoding runs
+    * per-partition — the same batch shape as the decode side.
     */
   def mediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -71,16 +131,35 @@ object Media {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       encode(col("text"), "UTF-8").as("content"))
       .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.modality != "image") r
+          else {
+            val h = hexDigest(r.content)
+            val w = 16 * (1 + nib(h, 0))
+            val ht = 16 * (1 + nib(h, 1))
+            val seed = Integer.parseInt(h.substring(0, 6), 16)
+            r.copy(content = ImageCodec.encodePng(w, ht, seed))
+          }
+        }
+      }
   }
 
   /** Partition-batched decode: one codec context per partition (the real
     * pattern for libjpeg/ffmpeg handles), iterator in / iterator out.
+    * Images decode for REAL; audio/video go through the declared stub.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: open codec context here, close at iterator end
-      rows.map(FakeCodec.decode)
+      rows.map { r =>
+        if (r.modality == "image") {
+          val (w, h) = ImageCodec.decodeDims(r.content)
+          MediaFeatures(r.media_id, r.modality, r.content.length,
+            w, h, 1, featureOf(hexDigest(r.content)))
+        } else FakeCodec.decode(r)
+      }
     }
   }
 
@@ -95,7 +174,7 @@ object Media {
   /** Frame sampling: every `stride`-th frame of each video becomes one
     * image-like training row. Same per-partition batch shape as
     * [[extractFeatures]] (a real impl holds one ffmpeg context per
-    * partition and seeks); per-frame values are md5-derived so the whole
+    * partition and seeks); per-frame values are digest-derived so the whole
     * sampling pipeline stays externally checkable.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameRow] = {
@@ -103,12 +182,13 @@ object Media {
     media.mapPartitions { rows =>
       // real impl: open demuxer/decoder context here, close at iterator end
       rows.filter(_.modality == "video").flatMap { r =>
-        val h = FakeCodec.md5Hex(r.content)
-        val nFrames = 1 + Character.digit(h.charAt(2), 16)
+        val h = hexDigest(r.content)
+        val nFrames = 1 + nib(h, 2)
         (1 to nFrames by stride).iterator.map { i =>
-          val fh = FakeCodec.md5Hex(s"$h:$i".getBytes("UTF-8"))
+          val fh = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$h:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
           FrameRow(r.media_id, i, (i - 1) * 40, fh.substring(0, 16),
-            Character.digit(fh.charAt(16), 16) < 4)
+            nib(fh, 16) < 4)
         }
       }
     }

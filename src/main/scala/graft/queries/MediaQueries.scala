@@ -3,21 +3,35 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.cawd.CawdExport
 import graft.multimodal.Media
 
 /** Multimodal pipeline pack: opaque-binary media columns + partition-batched
-  * (stub) decode + feature/resize/rollup stages. The decode values are
-  * md5-derived ([[Media.FakeCodec]]) so DuckDB can verify the whole
-  * pipeline value-by-value even though the "codec" is a stand-in.
+  * decode + feature/resize/rollup stages.
+  *
+  * Correctness model (the CawdExport pattern): every query MATERIALIZES the
+  * media table (media_id, modality, content-blob) as parquet, so Spark and
+  * the DuckDB oracle consume byte-identical blobs. Images are genuine PNG
+  * bytes decoded with `javax.imageio` ([[Media.ImageCodec]]); the oracle
+  * re-parses each PNG's IHDR header (big-endian width/height at fixed
+  * offsets) straight from the blob's hex — an INDEPENDENT check that the
+  * real decode read the right pixels. Audio/video metadata is the declared
+  * digest-derived stub, which DuckDB re-derives via `md5(hex(content))`.
   */
 object MediaQueries {
 
-  private def features(s: SparkSession, d: String): DataFrame =
-    Media.extractFeatures(Media.mediaTable(s, documents(s, d))).toDF()
+  private def mediaExport(s: SparkSession, d: String): DataFrame =
+    CawdExport.materializeDf(s, d, "media",
+      Media.mediaTable(s, documents(s, d)).toDF())
+
+  private def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Media.extractFeatures(mediaExport(s, d).as[Media.MediaRow]).toDF()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Binary ingest + per-partition decode; 8-dim feature flattened for
-    // stable cross-engine comparison.
+    // Binary ingest + per-partition decode (REAL PNG decode for images);
+    // 8-dim feature flattened for stable cross-engine comparison.
     "m01_media_features" -> ((s, d) => {
       val f = features(s, d)
       val featCols = (0 until 8).map(i =>
@@ -26,27 +40,32 @@ object MediaQueries {
         col("width"), col("height"), col("n_frames")) ++ featCols: _*)
     }),
 
-    // Deterministic resize kernel stand-in (floor semantics, see Media.resize).
-    "m02_media_resize" -> ((s, d) =>
+    // Deterministic resize kernel stand-in (floor semantics, see Media.resize)
+    // over the REAL decoded dims.
+    "m02_media_resize" -> ((s, d) => {
+      import s.implicits._
       Media.resize(
-        Media.extractFeatures(Media.mediaTable(s, documents(s, d))), 128)),
+        Media.extractFeatures(mediaExport(s, d).as[Media.MediaRow]), 128)
+    }),
 
     // Frame sampling: every 2nd frame of each video → an image-like
     // training row (timestamp, perceptual-hash stand-in, keyframe flag).
-    "m04_frame_sample" -> ((s, d) =>
-      Media.sampleFrames(Media.mediaTable(s, documents(s, d)), stride = 2).toDF()),
+    "m04_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Media.sampleFrames(mediaExport(s, d).as[Media.MediaRow], stride = 2).toDF()
+    }),
 
     // Modality rebalancing: deterministically down-sample every modality
     // to the size of the SMALLEST one (the stratified-balance step a
-    // multimodal training mix ends with). Selection is by md5 order, so
+    // multimodal training mix ends with). Selection is by digest order, so
     // the "random" sample is reproducible in both engines. The per-modality
     // row_number is exact-K selection for verifiability; at corpus scale
     // the same contract is served shuffle-free by hash-THRESHOLD sampling
     // (keep rows with h below the target quantile), trading exact K for a
     // binomial-tight approximation.
     "m05_modality_balance" -> ((s, d) => {
-      Media.mediaTable(s, documents(s, d)).toDF()
-        .withColumn("h", md5(col("content")))
+      mediaExport(s, d)
+        .withColumn("h", md5(hex(col("content"))))
         .createOrReplaceTempView("media")
       s.sql(
         """WITH ranked AS (
@@ -69,20 +88,33 @@ object MediaQueries {
     })
   )
 
-  /** DuckDB mirror of [[Media.FakeCodec]] — md5-nibble arithmetic. */
+  private def mediaGlob = CawdOracleSql.exportGlob("media")
+
+  /** DuckDB mirror of the decode stage, derived from the EXPORTED blobs:
+    * image dims parse the PNG IHDR (width/height are 4-byte big-endian at
+    * byte offsets 16/20 → hex chars 33-40/41-48; dims ≤ 256 live in the low
+    * two bytes), audio/video dims mirror [[Media.FakeCodec]]'s digest
+    * arithmetic, and the shared digest is `md5(hex(content))` (DuckDB md5
+    * is VARCHAR-only; both engines' hex is uppercase).
+    */
   private val FeatureCte = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1)"
+    def hxNib(j: Int) = s"(strpos('0123456789ABCDEF', substr(hx, $j, 1)) - 1)"
+    def hx16(start: Int) =
+      s"(4096 * ${hxNib(start)} + 256 * ${hxNib(start + 1)} + 16 * ${hxNib(start + 2)} + ${hxNib(start + 3)})"
     val feats = (0 until 8).map(i => s"${nib(8 + i)} / 15.0 AS f$i").mkString(", ")
     s"""feat AS (
-       |  SELECT doc_id AS media_id,
-       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-       |    octet_length(encode(text)) AS n_bytes,
-       |    16 * (1 + ${nib(0)}) AS width,
-       |    16 * (1 + ${nib(1)}) AS height,
-       |    CASE CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
-       |      WHEN 'video' THEN 1 + ${nib(2)} WHEN 'image' THEN 1 ELSE 0 END AS n_frames,
+       |  SELECT media_id, modality, n_bytes,
+       |    CASE WHEN modality = 'image' THEN ${hx16(37)}
+       |         ELSE 16 * (1 + ${nib(0)}) END AS width,
+       |    CASE WHEN modality = 'image' THEN ${hx16(45)}
+       |         ELSE 16 * (1 + ${nib(1)}) END AS height,
+       |    CASE modality WHEN 'video' THEN 1 + ${nib(2)}
+       |         WHEN 'image' THEN 1 ELSE 0 END AS n_frames,
        |    $feats
-       |  FROM (SELECT doc_id, text, md5(text) AS h FROM documents) t)""".stripMargin
+       |  FROM (SELECT media_id, modality, octet_length(content) AS n_bytes,
+       |          md5(hex(content)) AS h, hex(content) AS hx
+       |        FROM read_parquet('$mediaGlob')) t)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -107,31 +139,29 @@ object MediaQueries {
          |FROM feat GROUP BY modality""".stripMargin,
 
     "m05_modality_balance" ->
-      """WITH media AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |    md5(text) AS h
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT media_id, modality, h,
-        |    row_number() OVER (PARTITION BY modality ORDER BY h, media_id) AS samp_rank
-        |  FROM media)
-        |SELECT media_id, modality, samp_rank FROM ranked
-        |WHERE samp_rank <=
-        |  (SELECT min(n) FROM (SELECT count(*) AS n FROM media GROUP BY modality) t)""".stripMargin,
+      s"""WITH media AS (
+         |  SELECT media_id, modality, md5(hex(content)) AS h
+         |  FROM read_parquet('$mediaGlob')),
+         |ranked AS (
+         |  SELECT media_id, modality, h,
+         |    row_number() OVER (PARTITION BY modality ORDER BY h, media_id) AS samp_rank
+         |  FROM media)
+         |SELECT media_id, modality, samp_rank FROM ranked
+         |WHERE samp_rank <=
+         |  (SELECT min(n) FROM (SELECT count(*) AS n FROM media GROUP BY modality) t)""".stripMargin,
 
     "m04_frame_sample" ->
-      """WITH vids AS (
-        |  SELECT doc_id AS media_id, md5(text) AS h,
-        |    1 + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) AS n_frames
-        |  FROM documents WHERE doc_id % 3 = 2),
-        |frames AS (
-        |  SELECT media_id, CAST(i AS INT) AS frame_idx,
-        |    CAST((i - 1) * 40 AS INT) AS ts_ms,
-        |    md5(h || ':' || CAST(i AS VARCHAR)) AS fh
-        |  FROM vids, UNNEST(range(1, n_frames + 1, 2)) AS t(i))
-        |SELECT media_id, frame_idx, ts_ms, substr(fh, 1, 16) AS phash,
-        |  (strpos('0123456789abcdef', substr(fh, 17, 1)) - 1) < 4 AS is_keyframe
-        |FROM frames""".stripMargin
+      s"""WITH vids AS (
+         |  SELECT media_id, md5(hex(content)) AS h,
+         |    1 + (strpos('0123456789abcdef', substr(md5(hex(content)), 3, 1)) - 1) AS n_frames
+         |  FROM read_parquet('$mediaGlob') WHERE modality = 'video'),
+         |frames AS (
+         |  SELECT media_id, CAST(i AS INT) AS frame_idx,
+         |    CAST((i - 1) * 40 AS INT) AS ts_ms,
+         |    md5(h || ':' || CAST(i AS VARCHAR)) AS fh
+         |  FROM vids, UNNEST(range(1, n_frames + 1, 2)) AS t(i))
+         |SELECT media_id, frame_idx, ts_ms, substr(fh, 1, 16) AS phash,
+         |  (strpos('0123456789abcdef', substr(fh, 17, 1)) - 1) < 4 AS is_keyframe
+         |FROM frames""".stripMargin
   )
 }

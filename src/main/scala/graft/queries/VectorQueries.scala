@@ -91,23 +91,44 @@ object VectorQueries {
     * reassignment each round, then [[IvfProbes]]-cell probing and exact
     * rerank. Every join is an equi-join on `i` (dimension) or `cell`.
     */
-  /** Shared CTE prefix: trained k-medians cell assignment `a{IvfIterations}`
-    * (see [[ivfSql]] for the training rationale). Reused by the IVF search
-    * (e03) and semantic dedup (e05).
+  /** Shared CTE prefix: trained k-medians cell assignment (see [[ivfSql]]
+    * for the training rationale). Reused by the IVF search (e03/e07) and
+    * semantic dedup (e05). Returns (ctes, scoresCte, assignCte): the names
+    * of the final every-vector×cell score relation and the final
+    * cell-assignment relation.
+    *
+    * With `trainSample` the k-medians rounds run over a DETERMINISTIC
+    * ~50% hash sample (first md5 nibble of vec_id < 8) — the at-scale
+    * shape: at 10⁹ vectors training iterates on a sample while the full
+    * corpus pays only the one final assignment join. The sample is pure
+    * md5 arithmetic, so DuckDB draws the identical sample and the trained
+    * index stays value-verifiable.
     */
-  private def ivfAssignCtes(spark: Boolean): String = {
+  private def ivfAssignCtes(spark: Boolean,
+                            trainSample: Boolean = false): (String, String, String) = {
     val medianFn = if (spark) "percentile(x, 0.5)" else "median(x)"
     val elem = if (spark) "element_at(embedding, CAST(i AS INT))" else "embedding[i]"
     val lat = if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
               else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"
+    val strposFn = if (spark) "instr" else "strpos"
+    val cast = if (spark) "STRING" else "VARCHAR"
+    val trainSrc = if (trainSample) "tflat" else "flat"
+    val seedSrc = if (trainSample) "samp" else "embeddings"
+    val sampleCtes = if (!trainSample) "" else
+      s"""samp AS (
+         |  SELECT vec_id FROM embeddings
+         |  WHERE $strposFn('0123456789abcdef',
+         |          substr(md5(CAST(vec_id AS $cast)), 1, 1)) - 1 < 8),
+         |tflat AS (SELECT f.vec_id, f.i, f.x FROM flat f JOIN samp USING (vec_id)),
+         |""".stripMargin
     val iters = (1 to IvfIterations).map { it =>
       s"""c$it AS (
          |  SELECT cell, i, round($medianFn, 6) AS cx
-         |  FROM flat JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
+         |  FROM $trainSrc JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
          |s$it AS (
          |  SELECT f.vec_id, c.cell,
          |    round(sum(f.x * c.cx) / (n.nrm * sqrt(sum(c.cx * c.cx))), 6) AS cos
-         |  FROM flat f JOIN c$it c ON f.i = c.i JOIN norms n ON f.vec_id = n.vec_id
+         |  FROM $trainSrc f JOIN c$it c ON f.i = c.i JOIN norms n ON f.vec_id = n.vec_id
          |  GROUP BY f.vec_id, c.cell, n.nrm),
          |a$it AS (
          |  SELECT vec_id, cell FROM (
@@ -115,29 +136,47 @@ object VectorQueries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
          |    FROM s$it) t WHERE r = 1),""".stripMargin
     }.mkString("\n")
-    s"""params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings),
-       |flat AS (
-       |  SELECT vec_id, i, CAST($elem AS DOUBLE) AS x
-       |  FROM embeddings $lat),
-       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
-       |a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
-       |       FROM embeddings),
-       |$iters""".stripMargin
+    // sampled training adds ONE final full-corpus scoring/assignment pass
+    // against the last trained centroids; full training reuses the last
+    // round's relations directly (no extra pass)
+    val last = IvfIterations
+    val finalCtes = if (!trainSample) "" else
+      s"""
+         |sfull AS (
+         |  SELECT f.vec_id, c.cell,
+         |    round(sum(f.x * c.cx) / (n.nrm * sqrt(sum(c.cx * c.cx))), 6) AS cos
+         |  FROM flat f JOIN c$last c ON f.i = c.i JOIN norms n ON f.vec_id = n.vec_id
+         |  GROUP BY f.vec_id, c.cell, n.nrm),
+         |afull AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+         |    FROM sfull) t WHERE r = 1),""".stripMargin
+    val ctes =
+      s"""params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings),
+         |flat AS (
+         |  SELECT vec_id, i, CAST($elem AS DOUBLE) AS x
+         |  FROM embeddings $lat),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+         |${sampleCtes}a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
+         |       FROM $seedSrc),
+         |$iters$finalCtes""".stripMargin
+    if (trainSample) (ctes, "sfull", "afull") else (ctes, s"s$last", s"a$last")
   }
 
-  private def ivfSql(spark: Boolean): String = {
+  private def ivfSql(spark: Boolean, trainSample: Boolean = false): String = {
     val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
                 else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
-    val last = IvfIterations
-    s"""WITH ${ivfAssignCtes(spark)}
+    val (ctes, sFin, aFin) = ivfAssignCtes(spark, trainSample)
+    s"""WITH $ctes
        |probes AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
-       |    FROM s$last WHERE vec_id % 10 = 0) t WHERE r <= $IvfProbes),
+       |    FROM $sFin WHERE vec_id % 10 = 0) t WHERE r <= $IvfProbes),
        |pairs AS (
        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
-       |  FROM probes p JOIN a$last a USING (cell) WHERE p.q_id <> a.vec_id),
+       |  FROM probes p JOIN $aFin a USING (cell) WHERE p.q_id <> a.vec_id),
        |scored AS (
        |  SELECT q_id, n_id, round($cosFn, 6) AS cos
        |  FROM pairs JOIN embeddings ea ON pairs.q_id = ea.vec_id
@@ -230,11 +269,11 @@ object VectorQueries {
   private def semanticDedupSql(spark: Boolean): String = {
     val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
                 else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
-    val last = IvfIterations
-    s"""WITH ${ivfAssignCtes(spark)}
+    val (ctes, _, aFin) = ivfAssignCtes(spark)
+    s"""WITH $ctes
        |pairs AS (
        |  SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb
-       |  FROM a$last a JOIN a$last b
+       |  FROM $aFin a JOIN $aFin b
        |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT cell, ida, idb, round($cosFn, 6) AS cos
@@ -245,7 +284,7 @@ object VectorQueries {
        |  FROM scored WHERE cos >= $SemThreshold GROUP BY idb)
        |SELECT a.vec_id, a.cell, d.dup_of,
        |  CAST(d.dup_of IS NULL AS BOOLEAN) AS keep
-       |FROM a$last a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+       |FROM $aFin a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -295,6 +334,17 @@ object VectorQueries {
     "e03_ivf_topk" -> ((s, d) => {
       registerEmbeddings(s, d)
       s.sql(ivfSql(spark = true))
+    }),
+
+    // IVF with SAMPLED training — the 100 TB shape: k-medians rounds run
+    // over a deterministic ~50% md5 hash sample of the corpus (at 10⁹
+    // vectors a sample is the only affordable training set), then every
+    // vector pays exactly one assignment join against the trained
+    // centroids. Same probe/rerank as e03; the hash sample is reproducible
+    // in DuckDB, so the sampled index is value-verified end-to-end.
+    "e07_ivf_topk_sampled" -> ((s, d) => {
+      registerEmbeddings(s, d)
+      s.sql(ivfSql(spark = true, trainSample = true))
     }),
 
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus,
@@ -366,6 +416,8 @@ object VectorQueries {
          |WHERE rank <= $TopK""".stripMargin,
 
     "e03_ivf_topk" -> ivfSql(spark = false),
+
+    "e07_ivf_topk_sampled" -> ivfSql(spark = false, trainSample = true),
 
     "e05_semantic_dedup" -> semanticDedupSql(spark = false),
 
