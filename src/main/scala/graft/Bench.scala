@@ -49,7 +49,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$trafficParity}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$trafficParity}"""
+    println(line)
+    // the driver's log capture keeps only the tail of stdout, which truncated
+    // the per-query map at ~36 queries; the full line also lands in a repo
+    // file the driver commits whole
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file dump: $e") }
     spark.stop()
   }
 

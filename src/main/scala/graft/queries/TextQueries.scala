@@ -319,24 +319,56 @@ object TextQueries {
     // PROVABLY identical to the all-pairs definition the oracle computes.
     "d05_ngram_jaccard_pairs" -> ((s, d) => {
       val df = documents(s, d)
-      val sh = docShingles(df).cache() // df-rank + prefix + verify sides
+      val sh = docShingles(df).cache() // feeds dfreq + the ranked build
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val prefix = sh.join(dfreq, "s")
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-        .join(sizes, "doc_id")
-        // n - floor(t*n) + 1 >= the exact bound n - ceil(t*n) + 1 for every
-        // n (equal when t*n is integral, one longer otherwise) and immune to
-        // double ceil() overshoot (ceil(15*0.8) = 13 in floating point)
+      // ONE materialization serves every downstream role (prefix candidates,
+      // both verify sides, set sizes): rnk and n come from two window
+      // functions over the same doc_id distribution, so the plan shuffles
+      // the shingle set exactly once — the old shape paid a separate sizes
+      // aggregate plus two sizes joins inside the generic verifier
+      val w = Window.partitionBy(col("doc_id"))
+      val ranked = sh.join(dfreq, "s")
+        .select(col("doc_id"), col("s"),
+          row_number().over(w.orderBy(col("df"), col("s"))).as("rnk"),
+          count(lit(1)).over(w).as("n"))
+        .cache()
+      // n - floor(t*n) + 1 >= the exact bound n - ceil(t*n) + 1 for every
+      // n (equal when t*n is integral, one longer otherwise) and immune to
+      // double ceil() overshoot (ceil(15*0.8) = 13 in floating point)
+      val prefix = ranked
         .filter(col("rnk") <= col("n") - floor(col("n") * JaccardThreshold) + 1)
-        .select("doc_id", "s")
-        .cache() // both sides of the prefix self-join
       val cands = prefix.as("a")
         .join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
-      jaccardOf(sh, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            // PPJoin length filter: J >= t forces t·max(na,nb) <= min(na,nb).
+            // floor() on the float product only ever WEAKENS the bound
+            // (never prunes a pair where min/max = t exactly, e.g. 12/15
+            // with t = 0.8 where 0.8*15 floats to 12.000000000000002)
+            least(col("a.n"), col("b.n")) >=
+              floor(greatest(col("a.n"), col("b.n")) * JaccardThreshold))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .distinct()
+        .cache() // three plan branches: two semi prunes + the size lookup
+      // candidate-only exact verify: prune each shingle side to candidate
+      // docs, count common shingles, read set sizes off the cand row itself
+      val shA = ranked.join(
+        cands.select(col("ida").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      val shB = ranked.join(
+        cands.select(col("idb").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      val common = shA.as("x")
+        .join(shB.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .join(cands,
+          col("x.doc_id") === cands("ida") && col("y.doc_id") === cands("idb"),
+          "left_semi")
+        .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .agg(count(lit(1)).as("common"))
+      common.join(cands, Seq("ida", "idb"))
+        .select(col("ida"), col("idb"),
+          round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
     }),
 
     // MinHash+LSH: banded candidates → exact-Jaccard verification.
