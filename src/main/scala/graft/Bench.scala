@@ -42,8 +42,12 @@ object Bench {
       if (ok) dt else -1.0
     }
 
-    names.foreach { case (n, fn) => runOne(n, fn) } // warm-up (untimed)
-    spark.catalog.clearCache()                      // timed pass re-reads data
+    // GRAFT_BENCH_PASSES=1 skips the untimed warm-up (used for the one-shot
+    // sf1 scale validation, where completion matters and JIT warmth doesn't)
+    if (sys.env.getOrElse("GRAFT_BENCH_PASSES", "2") != "1") {
+      names.foreach { case (n, fn) => runOne(n, fn) } // warm-up (untimed)
+      spark.catalog.clearCache()                      // timed pass re-reads data
+    }
 
     val results = names.map { case (name, fn) => name -> runOne(name, fn) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

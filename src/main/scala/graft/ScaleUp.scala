@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a larger benchmark corpus from a driver-provided scale-factor dir
+  * by replicating each table `factor` times with disjoint key ranges.
+  *
+  * This exists for one-order-of-magnitude scale validation (BENCH_sf1): the
+  * driver ships sf0.001/0.01/0.1 only, and the 100 TB design claims (skew-free
+  * joins, split-level parallelism, candidate generation that stays linear)
+  * deserve at least one 10× checkpoint. Replicas are decorrelated, not
+  * byte-copies, so data-dependent operators scale the way a real corpus
+  * would instead of collapsing into cross-replica duplicate explosions:
+  *
+  *   - every key column gets `rep * 1e9` added (all keys are BIGINT; ranges
+  *     stay disjoint), dimension keys consistently across fact/dim tables;
+  *   - `documents.text` is salted per replica by prefixing every token with
+  *     `r<rep>x`, so every shingle/minhash/simhash value differs across
+  *     replicas (near-dup structure is preserved within each replica, and
+  *     replica 0 keeps the original corpus bit-for-bit);
+  *   - `embeddings.embedding` is rotated by `rep` positions — norms are
+  *     preserved, directions decorrelate, so LSH buckets and IVF cells get
+  *     10× the occupancy instead of 10 copies of each point;
+  *   - `region`/`nation` stay fixed (they are fixed-size at every TPC-H SF).
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor=10]
+  */
+object ScaleUp {
+  private val Stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.get("graft-scaleup")
+
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$dest/$name.parquet")
+
+    // replica id column; explode keeps this a narrow map-side transform
+    def reps(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(expr(s"sequence(0L, ${factor - 1}L)")))
+    def off(c: String): org.apache.spark.sql.Column =
+      col(c) + col("rep") * Stride
+
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(reps(read("customer")).withColumn("c_custkey", off("c_custkey"))
+      .drop("rep"), "customer", 4)
+    write(reps(read("supplier")).withColumn("s_suppkey", off("s_suppkey"))
+      .drop("rep"), "supplier", 2)
+    write(reps(read("part")).withColumn("p_partkey", off("p_partkey"))
+      .drop("rep"), "part", 4)
+    write(reps(read("orders"))
+      .withColumn("o_orderkey", off("o_orderkey"))
+      .withColumn("o_custkey", off("o_custkey"))
+      .drop("rep"), "orders", 8)
+    write(reps(read("lineitem"))
+      .withColumn("l_orderkey", off("l_orderkey"))
+      .withColumn("l_partkey", off("l_partkey"))
+      .withColumn("l_suppkey", off("l_suppkey"))
+      .drop("rep"), "lineitem", 16)
+    write(reps(read("events"))
+      .withColumn("event_id", off("event_id"))
+      .withColumn("user_id", off("user_id"))
+      .drop("rep"), "events", 8)
+
+    write(reps(read("documents"))
+      .withColumn("doc_id", off("doc_id"))
+      .withColumn("text", expr(
+        """CASE WHEN rep = 0 THEN text
+          |ELSE regexp_replace(text, '(^| )',
+          |       concat('$1r', CAST(rep AS STRING), 'x')) END""".stripMargin))
+      .withColumn("n_chars", length(col("text")))
+      .drop("rep"), "documents", 8)
+
+    write(reps(read("embeddings"))
+      .withColumn("vec_id", off("vec_id"))
+      .withColumn("embedding", expr(
+        """CASE WHEN rep = 0 THEN embedding
+          |ELSE concat(slice(embedding, CAST(rep + 1 AS INT),
+          |                  size(embedding) - CAST(rep AS INT)),
+          |            slice(embedding, 1, CAST(rep AS INT))) END""".stripMargin))
+      .drop("rep"), "embeddings", 4)
+
+    println(s"[scaleup] wrote $factor x $src -> $dest")
+    spark.stop()
+  }
+}

@@ -58,23 +58,40 @@ object MediaQueries {
     // Modality rebalancing: deterministically down-sample every modality
     // to the size of the SMALLEST one (the stratified-balance step a
     // multimodal training mix ends with). Selection is by digest order, so
-    // the "random" sample is reproducible in both engines. The per-modality
-    // row_number is exact-K selection for verifiability; at corpus scale
-    // the same contract is served shuffle-free by hash-THRESHOLD sampling
-    // (keep rows with h below the target quantile), trading exact K for a
-    // binomial-tight approximation.
+    // the "random" sample is reproducible in both engines.
+    //
+    // Exact-K selection WITHOUT a per-modality global sort: rows bucket by
+    // the first two hex chars of the digest (a prefix, so within-bucket
+    // (h, media_id) order IS global order and equal digests never straddle
+    // buckets), a tiny aggregate yields each bucket's cumulative offset,
+    // buckets whose offset already exceeds K are pruned before any sort,
+    // and row_number runs per (modality, bucket) — 256-way parallel over
+    // ~K surviving rows instead of one task sorting a whole modality.
+    // samp_rank = bucket offset + within-bucket rank reproduces the global
+    // rank exactly. At 10⁹ rows/modality widen the prefix to 4 hex chars.
     "m05_modality_balance" -> ((s, d) => {
-      mediaExport(s, d)
-        .withColumn("h", md5(hex(col("content"))))
-        .createOrReplaceTempView("media")
-      s.sql(
-        """WITH ranked AS (
-          |  SELECT media_id, modality, h,
-          |    row_number() OVER (PARTITION BY modality ORDER BY h, media_id) AS samp_rank
-          |  FROM media)
-          |SELECT media_id, modality, samp_rank FROM ranked
-          |WHERE samp_rank <=
-          |  (SELECT min(n) FROM (SELECT count(*) AS n FROM media GROUP BY modality) t)""".stripMargin)
+      import org.apache.spark.sql.expressions.Window
+      val media = mediaExport(s, d).select(
+        col("media_id"), col("modality"), md5(hex(col("content"))).as("h"))
+      val bucketed = media.withColumn("b", substring(col("h"), 1, 2))
+      val offsets = bucketed.groupBy("modality", "b")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(
+          sum(col("c")).over(Window.partitionBy(col("modality"))
+            .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("modality", "b", "off")
+      val k = media.groupBy("modality").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("k"))
+      bucketed
+        .join(broadcast(offsets), Seq("modality", "b"))
+        .join(broadcast(k))
+        .filter(col("off") < col("k")) // whole buckets past K never sort
+        .withColumn("samp_rank", col("off") + row_number().over(
+          Window.partitionBy(col("modality"), col("b"))
+            .orderBy(col("h"), col("media_id"))))
+        .filter(col("samp_rank") <= col("k"))
+        .select(col("media_id"), col("modality"), col("samp_rank"))
     }),
 
     // Downstream rollup: modality-level corpus statistics.

@@ -84,6 +84,11 @@ object TextQueries {
        |          FROM mh GROUP BY 1, 2)""".stripMargin
   val JaccardThreshold = 0.8
 
+  /** d22: minimum levenshtein similarity (1 - dist/max(len)) for a
+    * candidate pair to count as a fuzzy duplicate.
+    */
+  val EditSimThreshold = 0.8
+
   /** KMV sketch size (k smallest hash values kept per group). */
   val KmvK = 64
 
@@ -725,6 +730,72 @@ object TextQueries {
           |FROM wins""".stripMargin)
     }),
 
+    // Span-level dedup (the C4/RefinedWeb "line dedup" pass; this corpus
+    // has no newlines, so a "line" is a non-overlapping 10-token span):
+    // every span occurrence except the GLOBAL first (smallest (doc_id,
+    // pos)) is removed, including repeats inside one document, and each
+    // doc's surviving spans reassemble in order. First-occurrence is a
+    // hash-aggregate min(struct(doc_id, pos)) — map-side-combinable and
+    // skew-safe (a boilerplate span shared by 10⁷ docs partial-aggregates
+    // per partition; a window over h would buffer it in one task).
+    // Reassembly sorts only WITHIN each doc (collect_list + array_sort —
+    // doc-sized, never corpus-sized).
+    "d21_line_dedup" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      val chunks = s.sql(
+        """SELECT doc_id, pos, chunk, md5(chunk) AS h FROM (
+          |  SELECT doc_id, i AS pos,
+          |    concat_ws(' ', slice(w, CAST(i * 10 + 1 AS INT), 10)) AS chunk
+          |  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+          |  LATERAL VIEW explode(
+          |    sequence(0, CAST(ceil(size(w) / 10.0) AS BIGINT) - 1)) x AS i) c
+          |""".stripMargin)
+        .cache() // totals + first-occurrence + kept sides
+      val firsts = chunks.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+        .select(col("h"), col("f.doc_id").as("kd"), col("f.pos").as("kp"))
+      val kept = chunks.join(firsts, Seq("h"))
+        .filter(col("doc_id") === col("kd") && col("pos") === col("kp"))
+      val perDoc = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"))
+          .as("kept_text"))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("kept_text"), lit(""))).as("kept_hash"))
+    }),
+
+    // Fuzzy dedup with EDIT-DISTANCE verification: MinHash-banded candidate
+    // pairs (never all-pairs) re-scored by levenshtein similarity
+    // 1 - dist/max(len) — the verification metric fuzzy URL/title dedup
+    // pipelines use where token-set Jaccard is too coarse (it ignores
+    // order). levenshtein is a native codegen'd expression in Spark and a
+    // built-in in DuckDB, so the whole query is value-verifiable. The DP is
+    // O(len²) per pair but runs ONLY on LSH candidates; at 100 TB cap the
+    // compared prefix or switch to a bit-parallel Myers kernel.
+    "d22_editdist_pairs" -> ((s, d) => {
+      val df = documents(s, d)
+      val sh = docShingles(df).cache() // feeds the banded self-join twice
+      val bands = minhashBands(sh)
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
+      val texts = df.select(col("doc_id"), col("text"))
+      cands
+        .join(texts.as("ta"), col("ida") === col("ta.doc_id"))
+        .join(texts.as("tb"), col("idb") === col("tb.doc_id"))
+        .select(col("ida"), col("idb"),
+          levenshtein(col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("ta.text"), col("tb.text")).cast("double") /
+            greatest(length(col("ta.text")), length(col("tb.text"))), 6).as("edit_sim"))
+        .filter(col("edit_sim") >= EditSimThreshold)
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
@@ -797,6 +868,47 @@ object TextQueries {
         |FROM documents) t""".stripMargin,
 
     "d05_ngram_jaccard_pairs" -> JaccardPairsSql,
+
+    "d21_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') AS chunk,
+        |    md5(array_to_string(w[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ')) AS h
+        |  FROM toks, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)),
+        |firsts AS (
+        |  SELECT h, doc_id AS kd, pos AS kp FROM (
+        |    SELECT h, doc_id, pos,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM ch) r WHERE rn = 1),
+        |kept AS (
+        |  SELECT ch.doc_id, ch.pos, ch.chunk
+        |  FROM ch JOIN firsts ON ch.h = firsts.h
+        |    AND ch.doc_id = firsts.kd AND ch.pos = firsts.kp),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chunks, coalesce(p.n_kept, 0) AS n_kept,
+        |  md5(coalesce(p.kept_text, '')) AS kept_hash
+        |FROM tot t LEFT JOIN perdoc p ON t.doc_id = p.doc_id""".stripMargin,
+
+    "d22_editdist_pairs" ->
+      s"""$ShingleSqlCtes,
+         |$minhashBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM bands a JOIN bands b ON a.band = b.band
+         |           AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT ida, idb,
+         |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+         |    round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) /
+         |      greatest(length(ta.text), length(tb.text)), 6) AS edit_sim
+         |  FROM cand JOIN documents ta ON cand.ida = ta.doc_id
+         |            JOIN documents tb ON cand.idb = tb.doc_id)
+         |SELECT ida, idb, edit_dist, edit_sim
+         |FROM scored WHERE edit_sim >= $EditSimThreshold""".stripMargin,
 
     "d06_minhash_lsh_pairs" ->
       s"""$ShingleSqlCtes,
