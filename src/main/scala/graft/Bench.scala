@@ -28,6 +28,9 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      // progress to stderr (stdout stays one-JSON-line): long runs at big
+      // SFs are otherwise silent for tens of minutes
+      System.err.println(f"[bench] $name%-28s ${dt}%8.2f s")
       // each query caches what IT reuses across its own plan branches;
       // dropping those blocks afterwards keeps measurements independent
       // (the queries' cached binaries otherwise pile up into GC churn)

@@ -36,8 +36,22 @@ object ScaleUp {
     val spark = GraftSession.get("graft-scaleup")
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$dest/$name.parquet")
+    // the driver layout is ONE parquet FILE per table (not a directory):
+    // the streaming source's pathGlobFilter and the cawd engine's
+    // suffix-driven file listing both key on that, so the scaled corpus
+    // must match it — write a single part file and move it into place
+    def write(df: DataFrame, name: String, ignoredFiles: Int): Unit = {
+      import org.apache.hadoop.fs.Path
+      val tmp = s"$dest/.tmp_$name"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(dest).getFileSystem(conf)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+      val target = new Path(s"$dest/$name.parquet")
+      fs.delete(target, true)
+      fs.rename(part, target)
+      fs.delete(new Path(tmp), true)
+    }
 
     // replica id column; explode keeps this a narrow map-side transform
     def reps(df: DataFrame): DataFrame =

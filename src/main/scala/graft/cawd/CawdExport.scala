@@ -52,13 +52,23 @@ object CawdExport {
     spark.read.parquet(out).withColumnRenamed("sig", "signature")
   }
 
-  /** Write an arbitrary small DataFrame (e.g. the plain-baseline file list)
-    * under [[dir]] and read it back.
+  /** Write an arbitrary DataFrame (e.g. the media blob table) under [[dir]]
+    * and read it back. Memoized per JVM: the input is a pure function of
+    * (sfDir, tag) — the media table is deterministically derived from the
+    * documents table — so queries sharing an export (m01-m05 all consume
+    * `media`) pay the expensive encode+write exactly once per session
+    * instead of once per query. A failed write retries on the next call.
     */
   def materializeDf(spark: SparkSession, sfDir: String, tag: String,
                     df: DataFrame): DataFrame = {
     val out = dir(sfDir, tag)
-    df.write.mode("overwrite").parquet(out)
+    if (writtenDf.add(out)) {
+      try df.write.mode("overwrite").parquet(out)
+      catch { case e: Throwable => writtenDf.remove(out); throw e }
+    }
     spark.read.parquet(out)
   }
+
+  private val writtenDf =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -70,28 +70,33 @@ object MediaQueries {
     // samp_rank = bucket offset + within-bucket rank reproduces the global
     // rank exactly. At 10⁹ rows/modality widen the prefix to 4 hex chars.
     "m05_modality_balance" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val media = mediaExport(s, d).select(
-        col("media_id"), col("modality"), md5(hex(col("content"))).as("h"))
-      val bucketed = media.withColumn("b", substring(col("h"), 1, 2))
-      val offsets = bucketed.groupBy("modality", "b")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(
-          sum(col("c")).over(Window.partitionBy(col("modality"))
-            .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select("modality", "b", "off")
-      val k = media.groupBy("modality").agg(count(lit(1)).as("n"))
-        .agg(min(col("n")).as("k"))
-      bucketed
-        .join(broadcast(offsets), Seq("modality", "b"))
-        .join(broadcast(k))
-        .filter(col("off") < col("k")) // whole buckets past K never sort
-        .withColumn("samp_rank", col("off") + row_number().over(
-          Window.partitionBy(col("modality"), col("b"))
-            .orderBy(col("h"), col("media_id"))))
-        .filter(col("samp_rank") <= col("k"))
-        .select(col("media_id"), col("modality"), col("samp_rank"))
+      mediaExport(s, d)
+        .select(col("media_id"), col("modality"),
+          md5(hex(col("content"))).as("h"))
+        .createOrReplaceTempView("m05_media")
+      s.sql(
+        """WITH m AS (
+          |  SELECT media_id, modality, h, substring(h, 1, 2) AS bk
+          |  FROM m05_media),
+          |cnt AS (SELECT modality, bk, count(*) AS c FROM m GROUP BY modality, bk),
+          |off AS (
+          |  SELECT modality, bk,
+          |    coalesce(sum(c) OVER (PARTITION BY modality ORDER BY bk
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          |  FROM cnt),
+          |k AS (SELECT min(n) AS k FROM
+          |        (SELECT count(*) AS n FROM m GROUP BY modality) t),
+          |pruned AS (
+          |  SELECT m.media_id, m.modality, m.h, m.bk, o.off
+          |  FROM m JOIN off o ON m.modality = o.modality AND m.bk = o.bk
+          |  WHERE o.off < (SELECT k FROM k)),
+          |ranked AS (
+          |  SELECT media_id, modality,
+          |    off + row_number() OVER (PARTITION BY modality, bk
+          |                             ORDER BY h, media_id) AS samp_rank
+          |  FROM pruned)
+          |SELECT media_id, modality, samp_rank FROM ranked
+          |WHERE samp_rank <= (SELECT k FROM k)""".stripMargin)
     }),
 
     // Downstream rollup: modality-level corpus statistics.

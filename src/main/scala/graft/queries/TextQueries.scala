@@ -796,6 +796,38 @@ object TextQueries {
         .filter(col("edit_sim") >= EditSimThreshold)
     }),
 
+    // Deterministic stratified train/val/test split: each doc hashes to a
+    // bit-identical (0,1) fraction (same md5 arithmetic in both engines) and
+    // lands in 80/10/10 bands. Pure per-row projection — zero shuffle, no
+    // coordination, reproducible under reruns/backfills at any scale; the
+    // hash keys on (source, doc_id) so the split is stratified per source
+    // and stable when new sources arrive.
+    "d23_train_val_split" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        s"""WITH keyed AS (
+           |  SELECT doc_id, source,
+           |    md5(concat(source, ':', CAST(doc_id AS STRING))) AS h
+           |  FROM documents),
+           |frac AS (SELECT doc_id, source,
+           |  ${hexFractionSql("h", "instr")} AS f FROM keyed)
+           |SELECT doc_id, source, round(f, 6) AS split_key,
+           |  CASE WHEN f < 0.8 THEN 'train'
+           |       WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+           |FROM frac""".stripMargin)
+    }),
+
+    // BM25 top-k retrieval: score the corpus against a fixed query-term set
+    // with full BM25 (k1 = 1.2, b = 0.75), take the global top 20. The
+    // term-filtered tf table only contains docs sharing a query term, the
+    // corpus stats (N, avgdl) are a one-row broadcast, and the final top-k
+    // is an orderBy+limit Spark plans as TakeOrderedAndProject (per-
+    // partition heaps + driver merge — never a global sort).
+    "d24_bm25_topk" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(bm25Sql(spark = true))
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
@@ -813,6 +845,38 @@ object TextQueries {
           |FROM wins GROUP BY doc_id""".stripMargin)
     })
   )
+
+  /** BM25 scoring SQL, identical semantics in both engines (k1 = 1.2,
+    * b = 0.75; 2.2 = k1+1, 0.25 = 1-b): natural log (`log` in Spark, `ln`
+    * in DuckDB), every count cast to DOUBLE so the divisions match, score
+    * rounded BEFORE the ordering so a 1-ulp log difference can never flip
+    * the top-k cut.
+    */
+  private def bm25Sql(spark: Boolean): String = {
+    val splitFn = if (spark) "split" else "string_split"
+    val explodeFn = if (spark) "explode" else "unnest"
+    val lenFn = if (spark) "size" else "len"
+    val lnFn = if (spark) "log" else "ln"
+    val terms = "'table','scan','fast','join'"
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST($lenFn($splitFn(text, ' ')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+       |tf AS (
+       |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, $explodeFn($splitFn(text, ' ')) AS t FROM documents) x
+       |  WHERE t IN ($terms) GROUP BY doc_id, t),
+       |df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    round(sum($lnFn(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0) *
+       |      tf * 2.2 / (tf + 1.2 *
+       |        (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))), 6) AS bm25
+       |  FROM tf JOIN df ON tf.t = df.t
+       |          JOIN lens ON tf.doc_id = lens.doc_id
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   // --- DuckDB oracles ----------------------------------------------------
 
@@ -893,6 +957,20 @@ object TextQueries {
         |SELECT t.doc_id, t.n_chunks, coalesce(p.n_kept, 0) AS n_kept,
         |  md5(coalesce(p.kept_text, '')) AS kept_hash
         |FROM tot t LEFT JOIN perdoc p ON t.doc_id = p.doc_id""".stripMargin,
+
+    "d23_train_val_split" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    md5(concat(source, ':', CAST(doc_id AS VARCHAR))) AS h
+         |  FROM documents),
+         |frac AS (SELECT doc_id, source,
+         |  ${hexFractionSql("h", "strpos")} AS f FROM keyed)
+         |SELECT doc_id, source, round(f, 6) AS split_key,
+         |  CASE WHEN f < 0.8 THEN 'train'
+         |       WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM frac""".stripMargin,
+
+    "d24_bm25_topk" -> bm25Sql(spark = false),
 
     "d22_editdist_pairs" ->
       s"""$ShingleSqlCtes,

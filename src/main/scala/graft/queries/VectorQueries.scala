@@ -60,7 +60,20 @@ object VectorQueries {
     val explode = if (spark) "explode" else "unnest"
     val strposFn = if (spark) "instr" else "strpos"
     val shl = if (spark) "shiftleft(b, CAST(p AS INT))" else "(b << p)"
-    s"""flat AS (
+    // bucket count ADAPTS to corpus size exactly like [[bandedLshSql]]:
+    // np = clamp(6..30, ceil(log2(N/16))) holds expected occupancy ~16, so
+    // per-query candidate lists stay bounded as N grows (fixed 64 buckets
+    // would make every probe scan N/64 vectors). Plane weights are seeded
+    // by plane index — growing np appends hyperplanes, N ≤ 1024 keeps the
+    // original 6-plane buckets bit-for-bit, and the oracle derives the
+    // same np from the same count.
+    val npMax = 30
+    val np = "(SELECT np FROM qparams)"
+    s"""qparams AS (
+       |  SELECT least($npMax, greatest($LshPlanes,
+       |    CAST(ceil(log2(count(*) / 16.0)) AS INT))) AS np
+       |  FROM embeddings),
+       |flat AS (
        |  SELECT vec_id, i, CAST(${if (spark) "element_at(embedding, CAST(i AS INT))"
                                    else "embedding[i]"} AS DOUBLE) AS x
        |  FROM embeddings ${if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
@@ -70,8 +83,9 @@ object VectorQueries {
        |    ($strposFn('0123456789abcdef',
        |       substr(md5(CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
        |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
-       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (LshPlanes * 64 - 1) + ")"
-                                  else s"range(0, ${LshPlanes * 64})"}) AS k) kk),
+       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (npMax * 64 - 1) + ")"
+                                  else s"range(0, ${npMax * 64})"}) AS k) kk
+       |  WHERE floor(k / 64.0) < $np),
        |signs AS (
        |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
        |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
@@ -201,10 +215,24 @@ object VectorQueries {
   private def bandedLshSql(spark: Boolean): String = {
     val explode = if (spark) "explode" else "unnest"
     val strposFn = if (spark) "instr" else "strpos"
-    val nPlanes = NdBands * NdPlanesPerBand
-    val shl = if (spark) "shiftleft(b, CAST(p % NDP AS INT))".replace("NDP", NdPlanesPerBand.toString)
-              else s"(b << (p % $NdPlanesPerBand))"
-    s"""flat AS (
+    // planes per band ADAPT to corpus size: np = clamp(4..24,
+    // ceil(log2(N/32))) keeps expected bucket occupancy ~32, so candidate
+    // generation stays ~O(N · occupancy) instead of going quadratic when N
+    // outgrows a fixed bucket count (a 10× scale run measured the fixed
+    // 16-bucket variant at 185× the cost). Plane weights are seeded by
+    // plane INDEX, so growing np only APPENDS hyperplanes — at N ≤ 512
+    // (np = 4) buckets are bit-identical to the original fixed scheme, and
+    // the oracle computes the same np from the same count.
+    val npMax = 24
+    val maxPlanes = NdBands * npMax
+    val np = "(SELECT np FROM nparams)"
+    val shl = if (spark) s"shiftleft(b, CAST(p % $np AS INT))"
+              else s"(b << (p % $np))"
+    s"""nparams AS (
+       |  SELECT least($npMax, greatest($NdPlanesPerBand,
+       |    CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS np
+       |  FROM embeddings),
+       |flat AS (
        |  SELECT vec_id, i, CAST(${if (spark) "element_at(embedding, CAST(i AS INT))"
                                    else "embedding[i]"} AS DOUBLE) AS x
        |  FROM embeddings ${if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
@@ -214,15 +242,19 @@ object VectorQueries {
        |    ($strposFn('0123456789abcdef',
        |       substr(md5('nd:' || CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
        |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
-       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (nPlanes * 64 - 1) + ")"
-                                  else s"range(0, ${nPlanes * 64})"}) AS k) kk),
+       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (maxPlanes * 64 - 1) + ")"
+                                  else s"range(0, ${maxPlanes * 64})"}) AS k) kk
+       |  WHERE floor(k / 64.0) < $NdBands * $np),
        |signs AS (
        |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
        |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
        |bandbuckets AS (
-       |  SELECT vec_id, CAST(floor(p / $NdPlanesPerBand.0) AS INT) AS band,
-       |    CAST(sum($shl) AS BIGINT) AS bucket
-       |  FROM signs GROUP BY vec_id, CAST(floor(p / $NdPlanesPerBand.0) AS INT)),
+       |  SELECT vec_id, band, CAST(sum(sb) AS BIGINT) AS bucket
+       |  FROM (SELECT vec_id,
+       |          CAST(floor(p / CAST($np AS DOUBLE)) AS INT) AS band,
+       |          $shl AS sb
+       |        FROM signs) z
+       |  GROUP BY vec_id, band),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS ida, n.vec_id AS idb
        |  FROM bandbuckets q JOIN bandbuckets n
