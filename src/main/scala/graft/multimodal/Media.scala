@@ -125,12 +125,12 @@ object Media {
     */
   def mediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
+    spread(docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       encode(col("text"), "UTF-8").as("content"))
-      .as[MediaRow]
+      .as[MediaRow])
       .mapPartitions { rows =>
         rows.map { r =>
           if (r.modality != "image") r
@@ -145,13 +145,26 @@ object Media {
       }
   }
 
+  /** Codec stages are CPU-bound, but a packed-blob parquet export reads as
+    * far fewer splits than there are cores (tens of KB per row → hundreds
+    * of rows per 128 MB split): without a spread, a 50 k-image decode ran
+    * on ~6 of 32 threads. Repartition up to the session parallelism before
+    * any per-partition codec loop; values are per-row pure functions, so
+    * the shuffle cannot change results.
+    */
+  private def spread[T](media: Dataset[T]): Dataset[T] = {
+    val target = media.sparkSession.sparkContext.defaultParallelism
+    if (media.rdd.getNumPartitions >= target) media
+    else media.repartition(target)
+  }
+
   /** Partition-batched decode: one codec context per partition (the real
     * pattern for libjpeg/ffmpeg handles), iterator in / iterator out.
     * Images decode for REAL; audio/video go through the declared stub.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
+    spread(media).mapPartitions { rows =>
       // real impl: open codec context here, close at iterator end
       rows.map { r =>
         if (r.modality == "image") {
@@ -179,7 +192,7 @@ object Media {
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
+    spread(media).mapPartitions { rows =>
       // real impl: open demuxer/decoder context here, close at iterator end
       rows.filter(_.modality == "video").flatMap { r =>
         val h = hexDigest(r.content)

@@ -34,8 +34,21 @@ object VectorQueries {
   val NdPlanesPerBand = 4  // ... of 4 hyperplanes each (16 buckets/band)
   val NdThreshold = 0.4
 
-  /** Query subset: every 10th vector probes the index. */
-  private val QueryFilter = "vec_id % 10 = 0"
+  /** Probe set: every `qmod`-th vector queries the index, with qmod rising
+    * in decades so the probe SAMPLE stays ~500 however large the corpus is
+    * (N ≤ 5 000 keeps the original `% 10`). A probe set that scaled with N
+    * made the labeled-quadratic e01 baseline O(N²/10) — at 10⁹ vectors
+    * nobody brute-forces 10⁸ probes; a bounded probe budget is the honest
+    * baseline shape. The -1e-9 guards a libm log10 landing a hair above an
+    * exact decade; round() before the cast guards power() doing the same.
+    * The oracle derives the same qmod from the same count.
+    */
+  private val QmodCte =
+    """qmodp AS (
+      |  SELECT greatest(10, CAST(round(power(10,
+      |    ceil(log10(count(*) / 500.0) - 1e-9))) AS BIGINT)) AS qmod
+      |  FROM embeddings)""".stripMargin
+  private val ProbeFilter = "vec_id % (SELECT qmod FROM qmodp) = 0"
 
   /** cos(a, b): the native fused-loop Catalyst expression
     * ([[graft.functions.CosineSimilarity]]) — allocation-free single pass
@@ -182,12 +195,13 @@ object VectorQueries {
     val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
                 else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
     val (ctes, sFin, aFin) = ivfAssignCtes(spark, trainSample)
-    s"""WITH $ctes
+    s"""WITH $QmodCte,
+       |$ctes
        |probes AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
-       |    FROM $sFin WHERE vec_id % 10 = 0) t WHERE r <= $IvfProbes),
+       |    FROM $sFin WHERE $ProbeFilter) t WHERE r <= $IvfProbes),
        |pairs AS (
        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
        |  FROM probes p JOIN $aFin a USING (cell) WHERE p.q_id <> a.vec_id),
@@ -320,31 +334,26 @@ object VectorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force exact cosine top-k: the correctness baseline. The query
-    // side is broadcast (a small sample of the corpus), so the quadratic
-    // score pass is a single shuffle-free stage over the vector table.
+    // Brute-force exact cosine top-k: the correctness baseline. The probe
+    // side is broadcast (a bounded ~500-vector sample), so the
+    // probes×corpus score pass is a single shuffle-free stage over the
+    // vector table — linear in N for the bounded probe budget.
     "e01_cosine_topk" -> ((s, d) => {
-      val e = embeddings(s, d)
-      val q = e.filter(expr(QueryFilter))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val pairs = broadcast(q)
-        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
-          col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          round(cosine(col("qv"), col("nv")), 6).as("cos"))
-      topkOf(pairs)
+      registerEmbeddings(s, d)
+      s.sql(e01Sql(spark = true))
     }),
 
     // Sign-LSH bucketing: per-bucket candidate generation + exact rerank.
     "e02_lsh_topk" -> ((s, d) => {
       registerEmbeddings(s, d)
       s.sql(
-        s"""WITH ${lshBucketSql(spark = true)},
+        s"""WITH $QmodCte,
+           |${lshBucketSql(spark = true)},
            |cand AS (
            |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
            |  FROM buckets q JOIN buckets n
            |    ON q.bucket = n.bucket AND q.vec_id != n.vec_id
-           |  WHERE q.vec_id % 10 = 0),
+           |  WHERE q.$ProbeFilter),
            |scored AS (
            |  SELECT q_id, n_id,
            |    round(cosine_sim(ea.embedding, eb.embedding), 6) AS cos
@@ -420,23 +429,36 @@ object VectorQueries {
   private val CosSql =
     "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)"
 
+  /** e01 SQL, both engines: bounded probe sample × corpus, exact rerank.
+    * The Spark side hints BROADCAST on the probe subquery (the non-equi
+    * pair join is the one deliberate NLJ in the suite); DuckDB ignores the
+    * hint comment.
+    */
+  private def e01Sql(spark: Boolean): String = {
+    val cosFn = if (spark) "round(cosine_sim(ea.embedding, eb.embedding), 6)"
+                else CosSql
+    val hint = if (spark) "/*+ BROADCAST(ea) */ " else ""
+    s"""WITH $QmodCte
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT $hint ea.vec_id AS q_id, eb.vec_id AS n_id, $cosFn AS cos,
+       |    row_number() OVER (PARTITION BY ea.vec_id
+       |      ORDER BY $cosFn DESC, eb.vec_id ASC) AS rank
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE $ProbeFilter) ea
+       |       JOIN embeddings eb ON ea.vec_id != eb.vec_id) t
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "e01_cosine_topk" ->
-      s"""SELECT q_id, rank, n_id, cos FROM (
-         |  SELECT ea.vec_id AS q_id, eb.vec_id AS n_id, $CosSql AS cos,
-         |    row_number() OVER (PARTITION BY ea.vec_id
-         |      ORDER BY $CosSql DESC, eb.vec_id ASC) AS rank
-         |  FROM embeddings ea JOIN embeddings eb ON ea.vec_id != eb.vec_id
-         |  WHERE ea.vec_id % 10 = 0) t
-         |WHERE rank <= $TopK""".stripMargin,
+    "e01_cosine_topk" -> e01Sql(spark = false),
 
     "e02_lsh_topk" ->
-      s"""WITH ${lshBucketSql(spark = false)},
+      s"""WITH $QmodCte,
+         |${lshBucketSql(spark = false)},
          |cand AS (
          |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
          |  FROM buckets q JOIN buckets n
          |    ON q.bucket = n.bucket AND q.vec_id != n.vec_id
-         |  WHERE q.vec_id % 10 = 0),
+         |  WHERE q.$ProbeFilter),
          |scored AS (
          |  SELECT q_id, n_id, $CosSql AS cos
          |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
