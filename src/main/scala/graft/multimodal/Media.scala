@@ -44,12 +44,28 @@ object Media {
     * and DuckDB's `hex` both emit uppercase); `md5(hex(content))` is then
     * byte-identical across engines.
     */
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+  private val HexLower = "0123456789abcdef".toCharArray
+
+  private def hexChars(b: Array[Byte], table: Array[Char]): Array[Char] = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xFF
+      out(i * 2) = table(v >> 4)
+      out(i * 2 + 1) = table(v & 0xF)
+      i += 1
+    }
+    out
+  }
+
   def hexDigest(b: Array[Byte]): String = {
-    val sb = new StringBuilder(b.length * 2)
-    b.foreach(x => sb.append("%02X".format(x)))
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sb.toString.getBytes("US-ASCII"))
-      .map("%02x".format(_)).mkString
+    // table-lookup hex, NOT per-byte String.format: this runs over every
+    // byte of every blob (a 60 KB PNG is 120 k format calls the old way —
+    // profiled as the entire media-pack hot path at 10× scale)
+    val hx = new String(hexChars(b, HexUpper)).getBytes("US-ASCII")
+    val dig = java.security.MessageDigest.getInstance("MD5").digest(hx)
+    new String(hexChars(dig, HexLower))
   }
 
   private def nib(h: String, i: Int): Int = Character.digit(h.charAt(i), 16)
@@ -59,6 +75,13 @@ object Media {
     * libvips behind the same two functions).
     */
   object ImageCodec {
+
+    // ImageIO defaults to a DISK-backed stream cache: every read/write
+    // spills through a temp file, so a 50 k-image decode pass becomes
+    // 50 k file creations contending on /tmp (measured 2× pass-to-pass
+    // jitter at 10× scale). All our containers are in-memory byte arrays —
+    // cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** Deterministic render + PNG encode: the stand-in for genuine ingest
       * bytes. Pixels are a pure function of (seed, x, y), so the encoded

@@ -829,20 +829,26 @@ object TextQueries {
     }),
 
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
+    // Winnowing is PER-DOCUMENT, so the whole computation lives in array
+    // expressions inside one narrow projection — no explode, no window
+    // shuffle, no per-position row stream (the exploded formulation pushed
+    // ~60 M rows through an exchange+sort at 10× scale for identical
+    // output). At 100 TB this is embarrassingly parallel: zero shuffle.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
       s.sql(
         """WITH grams AS (
-          |  SELECT doc_id, i, md5(substr(text, i, 8)) AS h
-          |  FROM documents
-          |  LATERAL VIEW explode(sequence(1, greatest(length(text) - 7, 1))) t AS i),
+          |  SELECT doc_id,
+          |    transform(sequence(1, greatest(length(text) - 7, 1)),
+          |              i -> md5(substr(text, CAST(i AS INT), 8))) AS g
+          |  FROM documents),
           |wins AS (
-          |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
-          |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |  SELECT doc_id,
+          |    transform(g, (x, j) -> array_min(slice(g, j + 1, 4))) AS fps
           |  FROM grams)
-          |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints,
-          |       min(fp) AS min_fingerprint
-          |FROM wins GROUP BY doc_id""".stripMargin)
+          |SELECT doc_id, size(array_distinct(fps)) AS n_fingerprints,
+          |       array_min(fps) AS min_fingerprint
+          |FROM wins""".stripMargin)
     })
   )
 
@@ -1165,14 +1171,17 @@ object TextQueries {
 
     "d09_winnow_fingerprints" ->
       """WITH grams AS (
-        |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
-        |  FROM documents, UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)),
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 6, 2)),
+        |                   i -> md5(substr(text, CAST(i AS INT), 8))) AS g
+        |  FROM documents),
         |wins AS (
-        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
-        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(g) + 1),
+        |                   j -> list_aggregate(g[j:j+3], 'min')) AS fps
         |  FROM grams)
-        |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints,
-        |       min(fp) AS min_fingerprint
-        |FROM wins GROUP BY doc_id""".stripMargin
+        |SELECT doc_id, len(list_distinct(fps)) AS n_fingerprints,
+        |       list_aggregate(fps, 'min') AS min_fingerprint
+        |FROM wins""".stripMargin
   )
 }
