@@ -27,6 +27,16 @@ object StreamingQueries {
     */
   case class TypeState(n: Long, micros: Long)
 
+  /** O(1) per-user sessionization state carried across micro-batches by
+    * `flatMapGroupsWithState` (s06): closed-session count, running event
+    * count, longest closed session, and the open session's (last event
+    * time, length). Counters only — state size is independent of how many
+    * events or sessions a user accumulates, which is what lets the
+    * operator hold 10⁸ users on a cluster.
+    */
+  case class SessState(nSessions: Long, nEvents: Long, maxLen: Long,
+                       lastUs: Long, curLen: Long)
+
   /** Schema-probed streaming read of the events table (the dir holds all
     * corpus tables, hence the glob).
     */
@@ -219,6 +229,58 @@ object StreamingQueries {
       },
       _.orderBy("click_id", "view_id"))),
 
+    // Streaming sessionization via flatMapGroupsWithState — the API class
+    // the other s* queries don't touch (s03 uses mapGroupsWithState's
+    // one-row-per-group shape; flatMap is the general emit-any-rows form).
+    // Gap rule is IDENTICAL to batch q12 (new session when the gap exceeds
+    // 30 min). Each invocation sorts only ITS batch's per-user events
+    // (bounded by the user's batch volume), folds them into the O(1)
+    // state, and emits the user's running summary; with AvailableNow the
+    // final emitted row per user equals the batch sessionization, so the
+    // stateful path gets a full value-level oracle. n_events is strictly
+    // monotone per user, so max(struct(...)) projects the final row out of
+    // the update-mode sink. Production variant: EventTimeTimeout to evict
+    // users idle past the watermark.
+    "s06_streaming_sessions" -> ((s, d) => {
+      import s.implicits._
+      val gapUs = 1800000000L
+      drainToMemory(s, "s06",
+        name => eventsStream(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[SessState, (Long, Long, Long, Long)](
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+            (user: Long, it: Iterator[(Long, Long)],
+             state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
+              var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, 0L, 0L))
+              it.map(_._2).toArray.sorted.foreach { us =>
+                st = if (st.curLen == 0L || us - st.lastUs > gapUs)
+                  SessState(st.nSessions + 1, st.nEvents + 1,
+                    math.max(st.maxLen, st.curLen), us, 1L)
+                else
+                  SessState(st.nSessions, st.nEvents + 1, st.maxLen, us,
+                    st.curLen + 1)
+              }
+              state.update(st)
+              Iterator((user, st.nSessions, st.nEvents,
+                math.max(st.maxLen, st.curLen)))
+          }
+          .toDF("user_id", "n_sessions", "n_events", "max_session_len")
+          .writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(),
+        _.groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("n_sessions"),
+            col("max_session_len"))).as("st"))
+          .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
+            col("st.n_events").as("n_events"),
+            col("st.max_session_len").as("max_session_len"))
+          .orderBy("user_id"))
+    }),
+
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
       val root = new Path(s"$scratchRoot/${UUID.randomUUID()}")
@@ -273,6 +335,27 @@ object StreamingQueries {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'click' AND b.event_type = 'view'
         |  AND b.ts >= a.ts - INTERVAL 6 HOUR AND b.ts <= a.ts""".stripMargin,
+
+    // final flatMapGroupsWithState summaries == batch gap-sessionization
+    // (same 30-min rule as q12), summarized per user
+    "s06_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |marked AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           > 1800000000 OR
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |g AS (SELECT user_id, sid, count(*) AS len FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(len) AS BIGINT) AS n_events, max(len) AS max_session_len
+        |FROM g GROUP BY user_id""".stripMargin,
 
     // complete-mode streaming window == batch tumbling-window aggregation
     "s02_streaming_window" ->

@@ -1,8 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables._
 
 /** Similarity-search pack over the `embeddings` table (`Array[Float]` dim
@@ -49,22 +47,6 @@ object VectorQueries {
       |    ceil(log10(count(*) / 500.0) - 1e-9))) AS BIGINT)) AS qmod
       |  FROM embeddings)""".stripMargin
   private val ProbeFilter = "vec_id % (SELECT qmod FROM qmodp) = 0"
-
-  /** cos(a, b): the native fused-loop Catalyst expression
-    * ([[graft.functions.CosineSimilarity]]) — allocation-free single pass
-    * inside whole-stage codegen; arithmetic identical to
-    * `dot / (sqrt(na) * sqrt(nb))` composed from HOFs.
-    */
-  private def cosine(a: Column, b: Column): Column =
-    graft.functions.CosineSimilarity(a, b)
-
-  private def topkOf(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-  }
 
   /** Deterministic hyperplane weights / bucket assignment, common SQL core.
     * Emits per-vector (vec_id, bucket) with bucket = Σ_p (sign_p << p).
