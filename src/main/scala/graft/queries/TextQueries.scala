@@ -89,6 +89,9 @@ object TextQueries {
     */
   val EditSimThreshold = 0.8
 
+  /** d25: vocabulary size cap (top tokens by count). */
+  val VocabSize = 1000
+
   /** KMV sketch size (k smallest hash values kept per group). */
   val KmvK = 64
 
@@ -828,6 +831,23 @@ object TextQueries {
       s.sql(bm25Sql(spark = true))
     }),
 
+    // Tokenizer vocabulary build: top-N tokens by frequency with stable
+    // contiguous ids (count desc, token asc). The global ORDER BY + LIMIT
+    // plans as TakeOrderedAndProject (per-partition heaps + driver merge),
+    // and the ranking window runs over ONLY the N surviving rows — a
+    // 10⁸-type raw vocabulary never passes through a single-task sort.
+    "d25_vocab_topk" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        s"""WITH tok AS (SELECT explode(split(text, ' ')) AS token FROM documents),
+           |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+           |top AS (SELECT token, n FROM counts
+           |        ORDER BY n DESC, token ASC LIMIT $VocabSize)
+           |SELECT token, n,
+           |  row_number() OVER (ORDER BY n DESC, token ASC) AS token_id
+           |FROM top""".stripMargin)
+    }),
+
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
     // Winnowing is PER-DOCUMENT, so the whole computation lives in array
     // expressions inside one narrow projection — no explode, no window
@@ -977,6 +997,16 @@ object TextQueries {
          |FROM frac""".stripMargin,
 
     "d24_bm25_topk" -> bm25Sql(spark = false),
+
+    "d25_vocab_topk" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+         |top AS (SELECT token, n FROM counts
+         |        ORDER BY n DESC, token ASC LIMIT $VocabSize)
+         |SELECT token, n,
+         |  row_number() OVER (ORDER BY n DESC, token ASC) AS token_id
+         |FROM top""".stripMargin,
 
     "d22_editdist_pairs" ->
       s"""$ShingleSqlCtes,
