@@ -50,6 +50,28 @@ class TextQueriesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d21 edge cases: partial spans, identical docs, within-doc repeats") {
+    val dir = Files.createTempDirectory("graft-textspec-edge").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    val short = "w1 w2 w3 w4 w5" // 5 tokens: one PARTIAL span
+    val twenty5 = (1 to 25).map(i => s"t$i").mkString(" ") // 2 full + 1 partial
+    Seq(
+      (1L, short, "en", "web"),
+      (2L, short, "en", "web"),     // byte-identical doc: fully deduped
+      (3L, twenty5, "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val out = TextQueries.queries("d21_line_dedup")(spark, dir.getAbsolutePath)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == (1L, 1L, 1L), "5-token doc is ONE partial span, kept")
+    assert(out(1) == (2L, 1L, 0L), "identical later doc loses its only span")
+    assert(out(2) == (3L, 3L, 3L), "25 tokens = 2 full + 1 partial, all first")
+    spark.catalog.clearCache()
+  }
+
   test("d23 split is total, deterministic, and in-range") {
     val q = TextQueries.queries("d23_train_val_split")
     val a = q(spark, docsDir).collect().map(_.toSeq).toSet
