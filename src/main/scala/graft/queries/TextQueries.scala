@@ -477,7 +477,7 @@ object TextQueries {
       // ~1e19 nodes at the max doc_id.
       def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
         df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+          lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum(labels)
       var converged = false
       // AQE off for the loop body: each round's shuffles are a handful of
@@ -660,7 +660,7 @@ object TextQueries {
       val bloomBytes = bench
         .agg(call_function("graft_bloom_agg", xxhash64(col("s5")),
           lit(nItems), lit(nBits)).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
+        .head().getAs[Array[Byte]]("bf")
       ex.filter(col("source") =!= "src0")
         // bloom prefilter: narrow, no shuffle, codegen'd bit-test
         .filter(call_function("graft_might_contain",
