@@ -281,6 +281,46 @@ object StreamingQueries {
           .orderBy("user_id"))
     }),
 
+    // Stream-STATIC broadcast join — the remaining Structured Streaming
+    // join class (s05 covers stream-stream): training documents stream in,
+    // the benchmark 5-gram shingle set is a static broadcast side (the
+    // production decontamination deployment shape: the benchmark corpus is
+    // fixed, training data flows). Per-doc shingle dedup happens with
+    // array_distinct BEFORE the explode — no stateful distinct needed —
+    // and the join is stateless, so only the final per-doc count holds
+    // state. Counts are monotone per (doc, source), so max(struct(...))
+    // projects the final rows out of the update-mode sink; the result
+    // equals batch d15 exactly. Production adds a watermark on an ingest
+    // timestamp to bound the aggregation state.
+    "s07_stream_static_decontam" -> ((s, d) => {
+      val bench = graft.Tables.documents(s, d)
+        .filter(col("source") === "src0")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(TextQueries.shingle5Expr)).as("s5"))
+        .distinct()
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      drainToMemory(s, "s07",
+        name => s.readStream
+          .schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("source"),
+            explode(expr(
+              s"array_distinct(${TextQueries.shingle5Expr})")).as("s5"))
+          .join(broadcast(bench), Seq("s5"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+          .writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(),
+        _.groupBy(col("doc_id"), col("source"))
+          .agg(max(col("n_shared_shingles")).as("n_shared_shingles"))
+          .orderBy("doc_id"))
+    }),
+
     "s01_streaming_dedup" -> ((s, d) => {
       val conf = new Configuration()
       val root = new Path(s"$scratchRoot/${UUID.randomUUID()}")
@@ -335,6 +375,19 @@ object StreamingQueries {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'click' AND b.event_type = 'view'
         |  AND b.ts >= a.ts - INTERVAL 6 HOUR AND b.ts <= a.ts""".stripMargin,
+
+    // streaming stream-static decontamination == batch d15 (the join is
+    // stateless and the final per-doc counts drain to the batch values)
+    "s07_stream_static_decontam" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |       FROM toks, UNNEST(range(1, len(w)-3)) AS g(i)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT doc_id, source, count(*) AS n_shared_shingles
+        |FROM sh JOIN bench USING (s)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id, source""".stripMargin,
 
     // final flatMapGroupsWithState summaries == batch gap-sessionization
     // (same 30-min rule as q12), summarized per user

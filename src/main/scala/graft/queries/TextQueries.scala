@@ -45,7 +45,7 @@ object TextQueries {
   /** Word 5-gram shingles over a pre-split token array `w` (decontamination
     * granularity — same shape d15 inlines in SQL form).
     */
-  private val shingle5Expr =
+  private[queries] val shingle5Expr =
     """CASE WHEN size(w) >= 5 THEN
       |  transform(sequence(1, size(w) - 4), i -> concat_ws(' ',
       |    element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
