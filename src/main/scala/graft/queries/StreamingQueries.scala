@@ -37,6 +37,20 @@ object StreamingQueries {
   case class SessState(nSessions: Long, nEvents: Long, maxLen: Long,
                        lastUs: Long, curLen: Long)
 
+  /** One s06 fold step: absorb an event at time `us` (micros) into the
+    * running session state. Pure and associative across CHRONOLOGICAL
+    * chunks — folding a user's events batch-by-batch (each batch sorted,
+    * batches in time order) gives the same final state as folding the
+    * fully-sorted sequence at once, which is exactly the property the
+    * cross-micro-batch streaming execution relies on (property-tested).
+    */
+  private[queries] def sessStep(st: SessState, us: Long, gapUs: Long): SessState =
+    if (st.curLen == 0L || us - st.lastUs > gapUs)
+      SessState(st.nSessions + 1, st.nEvents + 1,
+        math.max(st.maxLen, st.curLen), us, 1L)
+    else
+      SessState(st.nSessions, st.nEvents + 1, st.maxLen, us, st.curLen + 1)
+
   /** Schema-probed streaming read of the events table (the dir holds all
     * corpus tables, hence the glob).
     */
@@ -256,12 +270,7 @@ object StreamingQueries {
              state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
               var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, 0L, 0L))
               it.map(_._2).toArray.sorted.foreach { us =>
-                st = if (st.curLen == 0L || us - st.lastUs > gapUs)
-                  SessState(st.nSessions + 1, st.nEvents + 1,
-                    math.max(st.maxLen, st.curLen), us, 1L)
-                else
-                  SessState(st.nSessions, st.nEvents + 1, st.maxLen, us,
-                    st.curLen + 1)
+                st = sessStep(st, us, gapUs)
               }
               state.update(st)
               Iterator((user, st.nSessions, st.nEvents,
