@@ -12,11 +12,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // progress + per-query timing to stderr: a silent 4-minute dump is
+      // undiagnosable when one query degrades
+      System.err.println(f"[verify] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       // queries cache what THEY reuse; drop it so ~40 queries' cached
       // relations don't pile up across the run (same policy as Bench)
       spark.catalog.clearCache()
