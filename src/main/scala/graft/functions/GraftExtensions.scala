@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`winnow_fp`", "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        WinnowFingerprint(exprs(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

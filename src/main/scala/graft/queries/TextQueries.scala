@@ -849,26 +849,21 @@ object TextQueries {
     }),
 
     // Winnowing fingerprints: char 8-gram md5 rolling hashes, window-4 min.
-    // Winnowing is PER-DOCUMENT, so the whole computation lives in array
-    // expressions inside one narrow projection — no explode, no window
-    // shuffle, no per-position row stream (the exploded formulation pushed
-    // ~60 M rows through an exchange+sort at 10× scale for identical
-    // output). At 100 TB this is embarrassingly parallel: zero shuffle.
+    // Winnowing is PER-DOCUMENT, so the whole computation is ONE native
+    // expression ([[graft.functions.WinnowFingerprint]]) inside a narrow
+    // zero-shuffle projection: no explode, no window exchange+sort (the
+    // exploded formulation pushed ~60 M rows through one at 10× scale),
+    // and no per-position md5-expression round trips (the array-SQL
+    // formulation still paid ~len md5 calls + hex materializations per
+    // doc — the suite's hottest per-byte loop). Identical values to the
+    // shared SQL definition the oracle runs; a spec cross-checks the
+    // expression against that formulation on random strings.
     "d09_winnow_fingerprints" -> ((s, d) => {
       documents(s, d).createOrReplaceTempView("documents")
       s.sql(
-        """WITH grams AS (
-          |  SELECT doc_id,
-          |    transform(sequence(1, greatest(length(text) - 7, 1)),
-          |              i -> md5(substr(text, CAST(i AS INT), 8))) AS g
-          |  FROM documents),
-          |wins AS (
-          |  SELECT doc_id,
-          |    transform(g, (x, j) -> array_min(slice(g, j + 1, 4))) AS fps
-          |  FROM grams)
-          |SELECT doc_id, size(array_distinct(fps)) AS n_fingerprints,
-          |       array_min(fps) AS min_fingerprint
-          |FROM wins""".stripMargin)
+        """SELECT doc_id, fp.n_fingerprints AS n_fingerprints,
+          |       fp.min_fingerprint AS min_fingerprint
+          |FROM (SELECT doc_id, winnow_fp(text) AS fp FROM documents)""".stripMargin)
     })
   )
 
