@@ -40,7 +40,7 @@ object ScaleUp {
     // the streaming source's pathGlobFilter and the cawd engine's
     // suffix-driven file listing both key on that, so the scaled corpus
     // must match it — write a single part file and move it into place
-    def write(df: DataFrame, name: String, ignoredFiles: Int): Unit = {
+    def write(df: DataFrame, name: String): Unit = {
       import org.apache.hadoop.fs.Path
       val tmp = s"$dest/.tmp_$name"
       df.repartition(1).write.mode("overwrite").parquet(tmp)
@@ -59,28 +59,28 @@ object ScaleUp {
     def off(c: String): org.apache.spark.sql.Column =
       col(c) + col("rep") * Stride
 
-    write(read("region"), "region", 1)
-    write(read("nation"), "nation", 1)
+    write(read("region"), "region")
+    write(read("nation"), "nation")
 
     write(reps(read("customer")).withColumn("c_custkey", off("c_custkey"))
-      .drop("rep"), "customer", 4)
+      .drop("rep"), "customer")
     write(reps(read("supplier")).withColumn("s_suppkey", off("s_suppkey"))
-      .drop("rep"), "supplier", 2)
+      .drop("rep"), "supplier")
     write(reps(read("part")).withColumn("p_partkey", off("p_partkey"))
-      .drop("rep"), "part", 4)
+      .drop("rep"), "part")
     write(reps(read("orders"))
       .withColumn("o_orderkey", off("o_orderkey"))
       .withColumn("o_custkey", off("o_custkey"))
-      .drop("rep"), "orders", 8)
+      .drop("rep"), "orders")
     write(reps(read("lineitem"))
       .withColumn("l_orderkey", off("l_orderkey"))
       .withColumn("l_partkey", off("l_partkey"))
       .withColumn("l_suppkey", off("l_suppkey"))
-      .drop("rep"), "lineitem", 16)
+      .drop("rep"), "lineitem")
     write(reps(read("events"))
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id"))
-      .drop("rep"), "events", 8)
+      .drop("rep"), "events")
 
     write(reps(read("documents"))
       .withColumn("doc_id", off("doc_id"))
@@ -89,7 +89,7 @@ object ScaleUp {
           |ELSE regexp_replace(text, '(^| )',
           |       concat('$1r', CAST(rep AS STRING), 'x')) END""".stripMargin))
       .withColumn("n_chars", length(col("text")))
-      .drop("rep"), "documents", 8)
+      .drop("rep"), "documents")
 
     write(reps(read("embeddings"))
       .withColumn("vec_id", off("vec_id"))
@@ -98,7 +98,7 @@ object ScaleUp {
           |ELSE concat(slice(embedding, CAST(rep + 1 AS INT),
           |                  size(embedding) - CAST(rep AS INT)),
           |            slice(embedding, 1, CAST(rep AS INT))) END""".stripMargin))
-      .drop("rep"), "embeddings", 4)
+      .drop("rep"), "embeddings")
 
     println(s"[scaleup] wrote $factor x $src -> $dest")
     spark.stop()
