@@ -68,20 +68,32 @@ object WinnowFingerprint {
   }
 
   /** Shared by interpreted eval and generated code. Substrings are
-    * CHARACTER-based (like SQL substr in both engines) and hashed as their
-    * UTF-8 bytes — exactly what `md5(substr(text, i, 8))` digests.
+    * CODE-POINT-based (like SQL substr in both engines — supplementary-plane
+    * characters count as 1, unlike java.lang.String's UTF-16 units) and
+    * hashed as their UTF-8 bytes — exactly what `md5(substr(text, i, 8))`
+    * digests. Code-point start offsets are indexed once up front so each
+    * gram is a direct byte-slice digest, keeping the loop O(len).
     */
   def compute(text: UTF8String): InternalRow = {
-    val s = text.toString
-    val len = s.length
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length + 1)
+    var len = 0
+    var p = 0
+    while (p < bytes.length) {
+      starts(len) = p
+      len += 1
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+    }
+    starts(len) = bytes.length
     val n = math.max(len - (Gram - 1), 1)
     val md = java.security.MessageDigest.getInstance("MD5")
     val digests = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       md.reset()
-      digests(i) = md.digest(s.substring(i, math.min(i + Gram, len))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val from = starts(i)
+      md.update(bytes, from, starts(math.min(i + Gram, len)) - from)
+      digests(i) = md.digest()
       i += 1
     }
     val distinct = new java.util.HashSet[java.nio.ByteBuffer]()

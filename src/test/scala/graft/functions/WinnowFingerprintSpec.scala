@@ -46,8 +46,12 @@ class WinnowFingerprintSpec extends AnyFunSuite {
 
   test("native expression matches the SQL formulation on random strings") {
     val rnd = new scala.util.Random(7)
-    val alphabet = "ab cdé中!"
-    val texts = Seq("", "a", "1234567", "12345678", "123456789") ++
+    // code-point alphabet including a supplementary-plane char (😀, a UTF-16
+    // surrogate pair): SQL substr/length count it as 1, so the expression
+    // must iterate by code point, not by Java char
+    val alphabet = Seq("a", "b", " ", "c", "d", "é", "中", "!", "😀")
+    val texts = Seq("", "a", "1234567", "12345678", "123456789",
+      "😀" * 9, "ab😀cd😀efgh") ++
       Seq.fill(40)(Seq.fill(rnd.nextInt(120))(
         alphabet(rnd.nextInt(alphabet.length))).mkString)
     assert(viaExpr(texts).toSeq == viaSql(texts).toSeq)
