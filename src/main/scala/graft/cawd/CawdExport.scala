@@ -62,13 +62,23 @@ object CawdExport {
   def materializeDf(spark: SparkSession, sfDir: String, tag: String,
                     df: DataFrame): DataFrame = {
     val out = dir(sfDir, tag)
-    if (writtenDf.add(out)) {
-      try df.write.mode("overwrite").parquet(out)
-      catch { case e: Throwable => writtenDf.remove(out); throw e }
-    }
+    // complete-before-read: a concurrent second caller with the same tag
+    // blocks on the winner's write instead of reading a half-written dir
+    val task = new java.util.concurrent.FutureTask[Unit](() =>
+      df.write.mode("overwrite").parquet(out))
+    val prior = writtenDf.putIfAbsent(out, task)
+    val winner = if (prior == null) { task.run(); task } else prior
+    try winner.get()
+    catch { case e: Throwable => writtenDf.remove(out, winner); throw e }
     spark.read.parquet(out)
   }
 
-  private val writtenDf =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Forget memoized exports. [[graft.Bench]] calls this between the
+    * warm-up and timed passes so the timed pass re-pays the encode+write
+    * it is supposed to measure.
+    */
+  def resetMemo(): Unit = writtenDf.clear()
+
+  private val writtenDf = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.FutureTask[Unit]]()
 }

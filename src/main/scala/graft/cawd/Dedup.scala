@@ -87,14 +87,19 @@ object Dedup {
       // shuffled join rather than a driver-breaking broadcast.
       case Some(s) if s.columns.contains(StreamingEngine.SigBucketCol) =>
         val probeSigs = chunks.select(col("signature")).distinct()
-        val buckets = probeSigs
-          .select(StreamingEngine.sigBucket(col("signature")).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        // ONE driver action per probe: the touched-bucket set (bounded by
+        // the ≤256-value bucket domain) and the broadcast-sizing count come
+        // out of the same aggregate — per-micro-batch driver latency is one
+        // job, not two.
+        val probeMeta = probeSigs.agg(
+          collect_set(StreamingEngine.sigBucket(col("signature"))).as("b"),
+          count(lit(1)).as("n")).head()
+        val buckets = probeMeta.getSeq[Int](0)
         if (buckets.isEmpty) marked.withColumn(InStoreCol, lit(false))
         else {
           val pruned = s.filter(col(StreamingEngine.SigBucketCol).isin(buckets: _*))
           val probeSide =
-            if (probeSigs.count() <= MaxBroadcastProbeSigs) broadcast(probeSigs)
+            if (probeMeta.getLong(1) <= MaxBroadcastProbeSigs) broadcast(probeSigs)
             else probeSigs
           val hits = pruned.join(probeSide, Seq("signature"), "left_semi")
             .select(col("signature")).distinct()

@@ -44,12 +44,23 @@ object StreamingQueries {
     * fully-sorted sequence at once, which is exactly the property the
     * cross-micro-batch streaming execution relies on (property-tested).
     */
-  private[queries] def sessStep(st: SessState, us: Long, gapUs: Long): SessState =
+  private[queries] def sessStep(st: SessState, us: Long, gapUs: Long): SessState = {
+    // the chronological-chunks precondition is load-bearing: a multi-file
+    // source or maxFilesPerTrigger split that delivers a batch older than
+    // the open session would otherwise fold `us - lastUs < 0` as a silent
+    // same-session continuation and corrupt every later count. Fail loudly —
+    // an out-of-order source needs an event-time re-sort upstream, not a
+    // quietly wrong answer.
+    if (st.curLen != 0L && us < st.lastUs)
+      throw new IllegalStateException(
+        s"out-of-order event: $us < open-session lastUs ${st.lastUs}; " +
+          "s06 requires chronologically ordered micro-batches")
     if (st.curLen == 0L || us - st.lastUs > gapUs)
       SessState(st.nSessions + 1, st.nEvents + 1,
         math.max(st.maxLen, st.curLen), us, 1L)
     else
       SessState(st.nSessions, st.nEvents + 1, st.maxLen, us, st.curLen + 1)
+  }
 
   /** Schema-probed streaming read of the events table (the dir holds all
     * corpus tables, hence the glob).
@@ -117,8 +128,18 @@ object StreamingQueries {
     val prevCkpt = s.conf.getOption("spark.sql.streaming.checkpointLocation")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
-    try start(name).awaitTermination()
-    finally {
+    try {
+      val query = start(name)
+      query.awaitTermination()
+      // non-empty-source guard: a wrong data layout (e.g. a directory where
+      // the glob expects a file) drains ZERO input rows and would otherwise
+      // "pass" vacuously — the failure mode the sf1 scale run hit. An
+      // AvailableNow drain of a real corpus always reads something; fail
+      // loudly if nothing matched.
+      val inputRows = query.recentProgress.map(_.numInputRows).sum
+      if (inputRows == 0L) throw new IllegalStateException(
+        s"$prefix: streaming source matched no input rows — wrong data layout?")
+    } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevCkpt match {
         case Some(v) => s.conf.set("spark.sql.streaming.checkpointLocation", v)

@@ -64,4 +64,12 @@ class SessFoldPropSpec extends AnyFunSuite {
       assert(chunked == fold(sorted))
     }
   }
+
+  test("out-of-order input fails loudly instead of corrupting counts") {
+    val st = fold(Seq(1000L, 2000L)) // open session with lastUs = 2000
+    val e = intercept[IllegalStateException] {
+      StreamingQueries.sessStep(st, 1500L, GapUs)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
 }
