@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * rows (the Scala analogue of `mapInPandas` — one iterator per partition,
   * vectorizable, no per-row UDF dispatch).
   *
-  * The IMAGE path is a REAL codec: the corpus's image rows carry genuine
-  * PNG bytes (deterministically rendered, so the table is reproducible) and
-  * [[ImageCodec]] decodes them with `javax.imageio` — width/height come
-  * from decoded pixels, and the DuckDB oracle independently re-parses the
-  * PNG IHDR header from the exported blob, so a wrong decode fails the
-  * value compare. AUDIO/VIDEO decode remains a STUB ([[FakeCodec]], this
-  * container has no audio/video codecs): deterministic pseudo-metadata from
+  * The IMAGE and AUDIO paths are REAL codecs: image rows carry genuine PNG
+  * bytes decoded with `javax.imageio` (width/height from decoded pixels),
+  * audio rows carry genuine RIFF/WAVE PCM bytes parsed with
+  * `javax.sound.sampled` (sample rate, channels, frame count) — both
+  * deterministically rendered so the table is reproducible, and in both
+  * cases the DuckDB oracle independently re-parses the container header
+  * (PNG IHDR / RIFF fmt+data) from the exported blob, so a wrong decode
+  * fails the value compare. VIDEO decode remains a STUB ([[FakeCodec]],
+  * this container has no video codecs): deterministic pseudo-metadata from
   * the blob's digest — clearly marked, swappable for an ffmpeg-class
   * binding; everything around it (binary schema, partition-iterator batch
   * shape, output schema, downstream aggregations) is real and
@@ -119,9 +121,66 @@ object Media {
     }
   }
 
-  /** STUB codec for AUDIO/VIDEO only — replace with real JNI/codec bindings
-    * in production. All values are pure functions of [[hexDigest]](content)
-    * so the pipeline is deterministic and externally checkable.
+  /** REAL audio codec over the JDK's sampled-audio stack: audio rows carry
+    * genuine RIFF/WAVE bytes (canonical 44-byte PCM header + deterministic
+    * 16-bit samples), and metadata comes from `javax.sound.sampled` parsing
+    * the container for real. The DuckDB oracle independently re-parses the
+    * RIFF header fields (little-endian sample rate at byte 24, channels at
+    * 22, data size at 40) straight from the exported blob's hex — the same
+    * independent-reparse contract as the PNG IHDR check.
+    */
+  object AudioCodec {
+
+    /** The standard consumer/telephony rate ladder. */
+    val SampleRates: Array[Int] =
+      Array(8000, 11025, 16000, 22050, 24000, 32000, 44100, 48000)
+
+    /** Deterministic 16-bit PCM render + canonical RIFF/WAVE header: the
+      * stand-in for genuine ingest bytes. Samples are an LCG stream of the
+      * seed, so the encoded bytes — and everything the oracle derives from
+      * them — are stable across runs.
+      */
+    def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+                  seed: Int): Array[Byte] = {
+      val dataSize = nFrames * channels * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1) // PCM
+      buf.putShort(channels.toShort)
+      buf.putInt(sampleRate)
+      buf.putInt(sampleRate * channels * 2) // byte rate
+      buf.putShort((channels * 2).toShort)  // block align
+      buf.putShort(16)                      // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var state = seed | 1
+      var i = 0
+      while (i < nFrames * channels) {
+        state = state * 1103515245 + 12345
+        buf.putShort((state >>> 16).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
+    /** Decode real WAV bytes → (sampleRate, channels, pcmFrames) via the
+      * JDK's audio-file parser (NOT our own header math — that lives only
+      * in the oracle, which is the point of the cross-check).
+      */
+    def decodeMeta(bytes: Array[Byte]): (Int, Int, Long) = {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      (fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength.toLong)
+    }
+  }
+
+  /** STUB codec for VIDEO only — replace with real JNI/codec bindings
+    * in production (this container ships no video codecs). All values are
+    * pure functions of [[hexDigest]](content) so the pipeline is
+    * deterministic and externally checkable.
     */
   object FakeCodec {
     def decode(row: MediaRow): MediaFeatures = {
@@ -142,8 +201,9 @@ object Media {
     (0 until 8).map(i => nib(h, 8 + i) / 15.0).toArray
 
   /** The corpus has no ingest media files; IMAGE rows get genuine
-    * deterministically-rendered PNG bytes (dims/seed derived from the doc
-    * text digest), audio/video rows carry opaque utf-8 blobs. Encoding runs
+    * deterministically-rendered PNG bytes and AUDIO rows genuine RIFF/WAVE
+    * PCM bytes (dims/rate/seed derived from the doc text digest); video
+    * rows carry opaque utf-8 blobs for the declared stub. Encoding runs
     * per-partition — the same batch shape as the decode side.
     */
   def mediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
@@ -156,13 +216,20 @@ object Media {
       .as[MediaRow])
       .mapPartitions { rows =>
         rows.map { r =>
-          if (r.modality != "image") r
-          else {
-            val h = hexDigest(r.content)
-            val w = 16 * (1 + nib(h, 0))
-            val ht = 16 * (1 + nib(h, 1))
-            val seed = Integer.parseInt(h.substring(0, 6), 16)
-            r.copy(content = ImageCodec.encodePng(w, ht, seed))
+          val h = hexDigest(r.content)
+          r.modality match {
+            case "image" =>
+              val w = 16 * (1 + nib(h, 0))
+              val ht = 16 * (1 + nib(h, 1))
+              val seed = Integer.parseInt(h.substring(0, 6), 16)
+              r.copy(content = ImageCodec.encodePng(w, ht, seed))
+            case "audio" =>
+              val sr = AudioCodec.SampleRates(nib(h, 0) % 8)
+              val ch = 1 + (nib(h, 1) & 1)
+              val frames = 160 * (1 + nib(h, 2)) // 160..2560 PCM frames
+              val seed = Integer.parseInt(h.substring(0, 6), 16)
+              r.copy(content = AudioCodec.encodeWav(sr, ch, frames, seed))
+            case _ => r
           }
         }
       }
@@ -183,18 +250,27 @@ object Media {
 
   /** Partition-batched decode: one codec context per partition (the real
     * pattern for libjpeg/ffmpeg handles), iterator in / iterator out.
-    * Images decode for REAL; audio/video go through the declared stub.
+    * Images and audio decode for REAL (javax.imageio / javax.sound.sampled);
+    * video goes through the declared stub. Audio maps onto the shared
+    * feature schema as width := sample rate, height := channels,
+    * n_frames := PCM frame count (the audio meaning of "frames").
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     spread(media).mapPartitions { rows =>
       // real impl: open codec context here, close at iterator end
       rows.map { r =>
-        if (r.modality == "image") {
-          val (w, h) = ImageCodec.decodeDims(r.content)
-          MediaFeatures(r.media_id, r.modality, r.content.length,
-            w, h, 1, featureOf(hexDigest(r.content)))
-        } else FakeCodec.decode(r)
+        r.modality match {
+          case "image" =>
+            val (w, h) = ImageCodec.decodeDims(r.content)
+            MediaFeatures(r.media_id, r.modality, r.content.length,
+              w, h, 1, featureOf(hexDigest(r.content)))
+          case "audio" =>
+            val (sr, ch, frames) = AudioCodec.decodeMeta(r.content)
+            MediaFeatures(r.media_id, r.modality, r.content.length,
+              sr, ch, frames.toInt, featureOf(hexDigest(r.content)))
+          case _ => FakeCodec.decode(r)
+        }
       }
     }
   }
@@ -221,8 +297,8 @@ object Media {
         val h = hexDigest(r.content)
         val nFrames = 1 + nib(h, 2)
         (1 to nFrames by stride).iterator.map { i =>
-          val fh = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$h:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val fh = new String(hexChars(java.security.MessageDigest
+            .getInstance("MD5").digest(s"$h:$i".getBytes("UTF-8")), HexLower))
           FrameRow(r.media_id, i, (i - 1) * 40, fh.substring(0, 16),
             nib(fh, 16) < 4)
         }

@@ -12,11 +12,14 @@ import graft.multimodal.Media
   * Correctness model (the CawdExport pattern): every query MATERIALIZES the
   * media table (media_id, modality, content-blob) as parquet, so Spark and
   * the DuckDB oracle consume byte-identical blobs. Images are genuine PNG
-  * bytes decoded with `javax.imageio` ([[Media.ImageCodec]]); the oracle
-  * re-parses each PNG's IHDR header (big-endian width/height at fixed
-  * offsets) straight from the blob's hex — an INDEPENDENT check that the
-  * real decode read the right pixels. Audio/video metadata is the declared
-  * digest-derived stub, which DuckDB re-derives via `md5(hex(content))`.
+  * bytes decoded with `javax.imageio` ([[Media.ImageCodec]]) and audio is
+  * genuine RIFF/WAVE PCM parsed with `javax.sound.sampled`
+  * ([[Media.AudioCodec]]); the oracle re-parses each PNG's IHDR header
+  * (big-endian width/height at fixed offsets) and each WAV's RIFF header
+  * (little-endian rate/channels/data-size) straight from the blob's hex —
+  * an INDEPENDENT check that the real decode read the right bytes. Video
+  * metadata is the declared digest-derived stub, which DuckDB re-derives
+  * via `md5(hex(content))`.
   */
 object MediaQueries {
 
@@ -115,24 +118,35 @@ object MediaQueries {
   /** DuckDB mirror of the decode stage, derived from the EXPORTED blobs:
     * image dims parse the PNG IHDR (width/height are 4-byte big-endian at
     * byte offsets 16/20 → hex chars 33-40/41-48; dims ≤ 256 live in the low
-    * two bytes), audio/video dims mirror [[Media.FakeCodec]]'s digest
-    * arithmetic, and the shared digest is `md5(hex(content))` (DuckDB md5
-    * is VARCHAR-only; both engines' hex is uppercase).
+    * two bytes), audio metadata parses the RIFF/WAVE header (little-endian
+    * channels at byte offset 22, sample rate at 24, data size at 40;
+    * PCM frames = data size / (2 × channels)), video dims mirror
+    * [[Media.FakeCodec]]'s digest arithmetic, and the shared digest is
+    * `md5(hex(content))` (DuckDB md5 is VARCHAR-only; both engines' hex is
+    * uppercase).
     */
   private val FeatureCte = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1)"
     def hxNib(j: Int) = s"(strpos('0123456789ABCDEF', substr(hx, $j, 1)) - 1)"
     def hx16(start: Int) =
       s"(4096 * ${hxNib(start)} + 256 * ${hxNib(start + 1)} + 16 * ${hxNib(start + 2)} + ${hxNib(start + 3)})"
+    // little-endian byte at 0-based blob offset `off` (hex is 1-based)
+    def hxByte(off: Int) = s"(16 * ${hxNib(2 * off + 1)} + ${hxNib(2 * off + 2)})"
+    val wavRate = s"(${hxByte(24)} + 256 * ${hxByte(25)})"
+    val wavCh = hxByte(22)
+    val wavData = s"(${hxByte(40)} + 256 * ${hxByte(41)} + 65536 * ${hxByte(42)})"
     val feats = (0 until 8).map(i => s"${nib(8 + i)} / 15.0 AS f$i").mkString(", ")
     s"""feat AS (
        |  SELECT media_id, modality, n_bytes,
-       |    CASE WHEN modality = 'image' THEN ${hx16(37)}
-       |         ELSE 16 * (1 + ${nib(0)}) END AS width,
-       |    CASE WHEN modality = 'image' THEN ${hx16(45)}
-       |         ELSE 16 * (1 + ${nib(1)}) END AS height,
-       |    CASE modality WHEN 'video' THEN 1 + ${nib(2)}
-       |         WHEN 'image' THEN 1 ELSE 0 END AS n_frames,
+       |    CAST(CASE modality WHEN 'image' THEN ${hx16(37)}
+       |         WHEN 'audio' THEN $wavRate
+       |         ELSE 16 * (1 + ${nib(0)}) END AS INT) AS width,
+       |    CAST(CASE modality WHEN 'image' THEN ${hx16(45)}
+       |         WHEN 'audio' THEN $wavCh
+       |         ELSE 16 * (1 + ${nib(1)}) END AS INT) AS height,
+       |    CAST(CASE modality WHEN 'video' THEN 1 + ${nib(2)}
+       |         WHEN 'image' THEN 1
+       |         ELSE $wavData // (2 * $wavCh) END AS INT) AS n_frames,
        |    $feats
        |  FROM (SELECT media_id, modality, octet_length(content) AS n_bytes,
        |          md5(hex(content)) AS h, hex(content) AS hx

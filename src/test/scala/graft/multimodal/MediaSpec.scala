@@ -44,7 +44,29 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.ImageCodec.decodeDims(jpeg) == (41, 23))
   }
 
-  test("extractFeatures decodes image rows for real; stub covers audio/video") {
+  /** Little-endian RIFF fields straight from the WAV container — the same
+    * independent check the DuckDB oracle runs.
+    */
+  private def riffMeta(wav: Array[Byte]): (Int, Int, Int) = {
+    def le(off: Int, n: Int): Int =
+      (0 until n).map(i => (wav(off + i) & 0xFF) << (8 * i)).sum
+    val channels = le(22, 2)
+    (le(24, 4), channels, le(40, 4) / (2 * channels))
+  }
+
+  test("encodeWav emits a genuine WAV that javax.sound.sampled parses back") {
+    val wav = Media.AudioCodec.encodeWav(22050, 2, nFrames = 321, seed = 0xBEEF)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(riffMeta(wav) == (22050, 2, 321))
+    // the REAL decode path: the JDK's parser, not our header math
+    assert(Media.AudioCodec.decodeMeta(wav) == (22050, 2, 321L))
+    // deterministic: same inputs → same bytes
+    assert(wav.sameElements(
+      Media.AudioCodec.encodeWav(22050, 2, nFrames = 321, seed = 0xBEEF)))
+  }
+
+  test("extractFeatures decodes image+audio rows for real; stub covers video") {
     val spark = GraftSession.get("media-spec")
     import spark.implicits._
     val docs = spark.range(0, 30)
@@ -61,10 +83,13 @@ class MediaSpec extends AnyFunSuite {
     }
     assert(feats.count(_.modality == "image") > 0)
     feats.filter(_.modality == "audio").foreach { f =>
-      val h = Media.hexDigest(rows(f.media_id).content)
-      assert(f.width == 16 * (1 + Character.digit(h.charAt(0), 16)))
-      assert(f.n_frames == 0)
+      val content = rows(f.media_id).content
+      // real decode: metadata equals an independent parse of the RIFF header
+      assert(riffMeta(content) == (f.width, f.height, f.n_frames))
+      assert(f.height == 1 || f.height == 2)
+      assert(f.n_bytes == content.length)
     }
+    assert(feats.count(_.modality == "audio") > 0)
     media.unpersist()
   }
 }
