@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ANN quality gate: recall@[[queries.VectorQueries.TopK]] of each
+  * approximate index (sign-LSH e02, trained IVF e03, sample-trained IVF
+  * e07) against the exact brute-force baseline e01, on the same bounded
+  * probe set (all four share the probe filter, so the query sets align).
+  *
+  * Determinism checks (the CORRECTNESS gate) prove the index computes what
+  * it says; they cannot see whether the index returns GOOD neighbors — an
+  * IVF whose cells degenerated would still hash-match its own oracle. This
+  * gate scores neighbor quality: |approx top-k ∩ exact top-k| / |exact
+  * top-k|, and fails the run when any index drops below its committed
+  * floor.
+  *
+  * Context for the floor values: the corpus embeddings are ISOTROPIC
+  * random vectors (measured: same-label and cross-label cosine
+  * distributions identical, top-5 neighbors share labels at chance) — the
+  * hardest regime for ANN, where recall is bought only with probe volume.
+  * The first run of this gate measured e02 at 0.04 (single AND-band LSH)
+  * and IVF at 0.24 (nprobe=2); the fixes it forced were OR-construction
+  * with np-adaptive band growth for e02 and nprobe=8 for e03/e07.
+  * Measured after, across sf0.001/sf0.01/sf0.1 (RECALL.json): e02
+  * 0.82-0.90, e03 0.52-0.70, e07 0.50-0.68. IVF's slow decay with scale
+  * is the known fixed-nprobe behavior on an isotropic corpus (neighbors
+  * spread over C = √N cells); e02 holds flat because its band count
+  * grows with np. [[Floors]] sit under the measured range with slack for
+  * corpus-shape variance and far above the degenerate regime this gate
+  * exists to catch — a collapsed IVF scores ≈ nprobe/C ≈ 0.1.
+  *
+  * Usage: runMain graft.Recall [sfDir] [outFile]
+  */
+object Recall {
+
+  /** Committed per-index recall floors. */
+  val Floors: Map[String, Double] = Map(
+    "e02_lsh_topk" -> 0.75,
+    "e03_ivf_topk" -> 0.45,
+    "e07_ivf_topk_sampled" -> 0.45)
+
+  /** recall@K per approximate index vs the cached exact baseline. */
+  def measure(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    val exact = SparkEntry.queries("e01_cosine_topk")(spark, sfDir)
+      .select("q_id", "n_id").cache()
+    val denom = exact.count().toDouble
+    val out = Floors.keys.toSeq.sorted.map { q =>
+      val hits = SparkEntry.queries(q)(spark, sfDir).select("q_id", "n_id")
+        .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+      q -> hits / denom
+    }.toMap
+    exact.unpersist()
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outFile = if (args.length > 1) args(1) else "RECALL.json"
+    val spark = GraftSession.get("graft-recall")
+    val r = measure(spark, sfDir)
+    val js = r.toSeq.sorted.map { case (k, v) => f""""$k":$v%.4f""" }.mkString(",")
+    val fl = Floors.toSeq.sorted.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+    val line =
+      s"""{"sf":"$sfDir","k":${queries.VectorQueries.TopK},"recall":{$js},"floors":{$fl}}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      java.util.Arrays.asList(line), java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[recall] file dump: $e") }
+    val failed = r.filter { case (q, v) => v < Floors(q) }
+    spark.stop()
+    if (failed.nonEmpty)
+      sys.error(s"ANN recall below committed floor: $failed")
+  }
+}

@@ -25,8 +25,9 @@ import graft.Tables._
 object VectorQueries {
 
   val TopK = 5
-  val LshPlanes = 6        // 64 buckets
-  val IvfProbes = 2
+  val TopKBands = 16       // e02 OR-construction: base band-table count ...
+  val TopKBandsMax = 64    // ... growing with np to hold recall (bandedCtes)
+  val IvfProbes = 8
   val IvfIterations = 2    // k-medians refinement rounds
   val NdBands = 8          // e04 OR-construction: 8 bands ...
   val NdPlanesPerBand = 4  // ... of 4 hyperplanes each (16 buckets/band)
@@ -48,26 +49,46 @@ object VectorQueries {
       |  FROM embeddings)""".stripMargin
   private val ProbeFilter = "vec_id % (SELECT qmod FROM qmodp) = 0"
 
-  /** Deterministic hyperplane weights / bucket assignment, common SQL core.
-    * Emits per-vector (vec_id, bucket) with bucket = Σ_p (sign_p << p).
+  /** Banded sign-LSH CTEs shared by e02 (top-k search) and e04 (near-dup
+    * pairs): `nbExpr` independent hash tables of adaptive-width
+    * AND-buckets; emits per-vector `bandbuckets(vec_id, band, bucket)`.
+    * OR-construction is what makes sign-LSH usable as a SEARCH index on an
+    * isotropic corpus — a single AND-band of 6 planes collides a cos≈0.2
+    * true neighbor with ~4% probability (measured recall@5 0.04), while 16
+    * bands of 4 lift it to 1−(1−p)¹⁶ ≈ 0.88. Two adaptive knobs, both
+    * derived from count(*) so the oracle computes them identically:
+    *
+    *   - planes/band np = clamp(min..24, ceil(log2(N/32))) holds expected
+    *     bucket occupancy ~32, so candidate work per probe stays
+    *     ~bands·32 at ANY corpus size instead of going quadratic when N
+    *     outgrows a fixed bucket count (a 10× scale run measured a fixed
+    *     16-bucket variant at 185× the cost);
+    *   - for the SEARCH index, band count nb grows with np beyond the
+    *     4-plane base (finer AND-buckets collide true neighbors less
+    *     often — measured recall fell 0.90 → 0.60 when np stepped 4 → 8
+    *     at a fixed 16 bands), which is LSH theory's standard trade:
+    *     hold recall by adding hash tables as N grows, paying table
+    *     count for per-table precision.
+    *
+    * Plane weights are md5-seeded by `seed` + plane index, so growing np
+    * or nb only APPENDS hyperplanes and both engines build byte-identical
+    * buckets.
     */
-  private def lshBucketSql(spark: Boolean): String = {
+  private def bandedCtes(spark: Boolean, nbExpr: String, maxBands: Int,
+                         minPlanes: Int, seed: String): String = {
     val explode = if (spark) "explode" else "unnest"
     val strposFn = if (spark) "instr" else "strpos"
-    val shl = if (spark) "shiftleft(b, CAST(p AS INT))" else "(b << p)"
-    // bucket count ADAPTS to corpus size exactly like [[bandedLshSql]]:
-    // np = clamp(6..30, ceil(log2(N/16))) holds expected occupancy ~16, so
-    // per-query candidate lists stay bounded as N grows (fixed 64 buckets
-    // would make every probe scan N/64 vectors). Plane weights are seeded
-    // by plane index — growing np appends hyperplanes, N ≤ 1024 keeps the
-    // original 6-plane buckets bit-for-bit, and the oracle derives the
-    // same np from the same count.
-    val npMax = 30
-    val np = "(SELECT np FROM qparams)"
-    s"""qparams AS (
-       |  SELECT least($npMax, greatest($LshPlanes,
-       |    CAST(ceil(log2(count(*) / 16.0)) AS INT))) AS np
-       |  FROM embeddings),
+    val npMax = 24
+    val maxPlanes = maxBands * npMax
+    val np = "(SELECT np FROM nparams)"
+    val nb = "(SELECT nb FROM nparams)"
+    val shl = if (spark) s"shiftleft(b, CAST(p % $np AS INT))"
+              else s"(b << (p % $np))"
+    s"""nparams AS (
+       |  SELECT np, $nbExpr AS nb FROM (
+       |    SELECT least($npMax, greatest($minPlanes,
+       |      CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS np
+       |    FROM embeddings) t),
        |flat AS (
        |  SELECT vec_id, i, CAST(${if (spark) "element_at(embedding, CAST(i AS INT))"
                                    else "embedding[i]"} AS DOUBLE) AS x
@@ -76,17 +97,51 @@ object VectorQueries {
        |planes AS (
        |  SELECT CAST(floor(k / 64.0) AS INT) AS p, (k % 64) + 1 AS i,
        |    ($strposFn('0123456789abcdef',
-       |       substr(md5(CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
+       |       substr(md5('$seed' || CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
        |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
-       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (npMax * 64 - 1) + ")"
-                                  else s"range(0, ${npMax * 64})"}) AS k) kk
-       |  WHERE floor(k / 64.0) < $np),
+       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (maxPlanes * 64 - 1) + ")"
+                                  else s"range(0, ${maxPlanes * 64})"}) AS k) kk
+       |  WHERE floor(k / 64.0) < $nb * $np),
        |signs AS (
        |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
        |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
-       |buckets AS (
-       |  SELECT vec_id, CAST(sum($shl) AS BIGINT) AS bucket FROM signs GROUP BY vec_id)
+       |bandbuckets AS (
+       |  SELECT vec_id, band, CAST(sum(sb) AS BIGINT) AS bucket
+       |  FROM (SELECT vec_id,
+       |          CAST(floor(p / CAST($np AS DOUBLE)) AS INT) AS band,
+       |          $shl AS sb
+       |        FROM signs) z
+       |  GROUP BY vec_id, band)
        |""".stripMargin
+  }
+
+  /** e02 SQL, both engines: OR-construction sign-LSH top-k — candidates are
+    * the union over [[TopKBands]] band tables of the probe's bucket-mates
+    * (an equi-join on (band, bucket), DISTINCT folds multi-band repeats),
+    * then exact cosine rerank. Candidate budget ≈ bands × occupancy ≈ 512
+    * per probe at any corpus size.
+    */
+  private def e02Sql(spark: Boolean): String = {
+    val cosFn = if (spark) "round(cosine_sim(ea.embedding, eb.embedding), 6)"
+                else CosSql
+    s"""WITH $QmodCte,
+       |${bandedCtes(spark,
+          s"least($TopKBandsMax, $TopKBands + 8 * greatest(0, np - $NdPlanesPerBand))",
+          TopKBandsMax, NdPlanesPerBand, "q2:")},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM bandbuckets q JOIN bandbuckets n
+       |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id != n.vec_id
+       |  WHERE q.$ProbeFilter),
+       |scored AS (
+       |  SELECT q_id, n_id, $cosFn AS cos
+       |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
+       |            JOIN embeddings eb ON cand.n_id = eb.vec_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $TopK""".stripMargin
   }
 
   private def registerEmbeddings(s: SparkSession, d: String): Unit =
@@ -198,64 +253,25 @@ object VectorQueries {
        |WHERE rank <= $TopK""".stripMargin
   }
 
-  /** Banded sign-LSH for e04 (OR-construction, the d06 pattern in embedding
-    * space): [[NdBands]] independent band buckets of [[NdPlanesPerBand]]
-    * hyperplanes each; a pair is a candidate iff it shares ≥1 band bucket,
-    * then exact cosine verifies. Candidate generation is an equi-join on
-    * (band, bucket) — never all-pairs — so the plan is a plain shuffle hash
-    * join that scales with bucket occupancy. Recall is set by the banding
-    * parameters (more planes/band → finer buckets at larger corpora).
-    * Hyperplane weights reuse the md5 scheme, so both engines build
-    * byte-identical buckets.
+  /** e04 SQL, both engines: banded sign-LSH near-dup pairs (OR-construction,
+    * the d06 pattern in embedding space) over [[NdBands]] bands from
+    * [[bandedCtes]]; a pair is a candidate iff it shares ≥1 band bucket,
+    * then exact cosine verifies against [[NdThreshold]]. Candidate
+    * generation is an equi-join on (band, bucket) — never all-pairs.
     */
-  private def bandedLshSql(spark: Boolean): String = {
-    val explode = if (spark) "explode" else "unnest"
-    val strposFn = if (spark) "instr" else "strpos"
-    // planes per band ADAPT to corpus size: np = clamp(4..24,
-    // ceil(log2(N/32))) keeps expected bucket occupancy ~32, so candidate
-    // generation stays ~O(N · occupancy) instead of going quadratic when N
-    // outgrows a fixed bucket count (a 10× scale run measured the fixed
-    // 16-bucket variant at 185× the cost). Plane weights are seeded by
-    // plane INDEX, so growing np only APPENDS hyperplanes — at N ≤ 512
-    // (np = 4) buckets are bit-identical to the original fixed scheme, and
-    // the oracle computes the same np from the same count.
-    val npMax = 24
-    val maxPlanes = NdBands * npMax
-    val np = "(SELECT np FROM nparams)"
-    val shl = if (spark) s"shiftleft(b, CAST(p % $np AS INT))"
-              else s"(b << (p % $np))"
-    s"""nparams AS (
-       |  SELECT least($npMax, greatest($NdPlanesPerBand,
-       |    CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS np
-       |  FROM embeddings),
-       |flat AS (
-       |  SELECT vec_id, i, CAST(${if (spark) "element_at(embedding, CAST(i AS INT))"
-                                   else "embedding[i]"} AS DOUBLE) AS x
-       |  FROM embeddings ${if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
-                            else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"}),
-       |planes AS (
-       |  SELECT CAST(floor(k / 64.0) AS INT) AS p, (k % 64) + 1 AS i,
-       |    ($strposFn('0123456789abcdef',
-       |       substr(md5('nd:' || CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
-       |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
-       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (maxPlanes * 64 - 1) + ")"
-                                  else s"range(0, ${maxPlanes * 64})"}) AS k) kk
-       |  WHERE floor(k / 64.0) < $NdBands * $np),
-       |signs AS (
-       |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
-       |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
-       |bandbuckets AS (
-       |  SELECT vec_id, band, CAST(sum(sb) AS BIGINT) AS bucket
-       |  FROM (SELECT vec_id,
-       |          CAST(floor(p / CAST($np AS DOUBLE)) AS INT) AS band,
-       |          $shl AS sb
-       |        FROM signs) z
-       |  GROUP BY vec_id, band),
+  private def e04Sql(spark: Boolean): String = {
+    val cosFn = if (spark) "round(cosine_sim(ea.embedding, eb.embedding), 6)"
+                else CosSql
+    s"""WITH ${bandedCtes(spark, NdBands.toString, NdBands, NdPlanesPerBand, "nd:")},
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS ida, n.vec_id AS idb
        |  FROM bandbuckets q JOIN bandbuckets n
-       |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id < n.vec_id)
-       |""".stripMargin
+       |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id < n.vec_id),
+       |scored AS (
+       |  SELECT ida, idb, ea.label AS la, eb.label AS lb, $cosFn AS cos
+       |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
+       |            JOIN embeddings eb ON cand.idb = eb.vec_id)
+       |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin
   }
 
   /** SemDeDup threshold: a vector with a within-cell neighbor of smaller
@@ -325,27 +341,11 @@ object VectorQueries {
       s.sql(e01Sql(spark = true))
     }),
 
-    // Sign-LSH bucketing: per-bucket candidate generation + exact rerank.
+    // OR-construction sign-LSH top-k: multi-band candidate union + exact
+    // rerank (see e02Sql).
     "e02_lsh_topk" -> ((s, d) => {
       registerEmbeddings(s, d)
-      s.sql(
-        s"""WITH $QmodCte,
-           |${lshBucketSql(spark = true)},
-           |cand AS (
-           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
-           |  FROM buckets q JOIN buckets n
-           |    ON q.bucket = n.bucket AND q.vec_id != n.vec_id
-           |  WHERE q.$ProbeFilter),
-           |scored AS (
-           |  SELECT q_id, n_id,
-           |    round(cosine_sim(ea.embedding, eb.embedding), 6) AS cos
-           |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
-           |            JOIN embeddings eb ON cand.n_id = eb.vec_id)
-           |SELECT q_id, rank, n_id, cos FROM (
-           |  SELECT q_id, n_id, cos,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
-           |  FROM scored) r
-           |WHERE rank <= $TopK""".stripMargin)
+      s.sql(e02Sql(spark = true))
     }),
 
     // IVF with a TRAINED index: ceil(sqrt(N)) cells, 2 rounds of k-medians
@@ -389,14 +389,7 @@ object VectorQueries {
     // from an equi-join on (band, bucket) — no all-pairs/NLJ anywhere.
     "e04_cosine_neardup_pairs" -> ((s, d) => {
       registerEmbeddings(s, d)
-      s.sql(
-        s"""WITH ${bandedLshSql(spark = true)},
-           |scored AS (
-           |  SELECT ida, idb, ea.label AS la, eb.label AS lb,
-           |    round(cosine_sim(ea.embedding, eb.embedding), 6) AS cos
-           |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
-           |            JOIN embeddings eb ON cand.idb = eb.vec_id)
-           |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin)
+      s.sql(e04Sql(spark = true))
     }),
 
     // int8 scalar quantization of the embedding column (see quantizeSql).
@@ -433,23 +426,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "e01_cosine_topk" -> e01Sql(spark = false),
 
-    "e02_lsh_topk" ->
-      s"""WITH $QmodCte,
-         |${lshBucketSql(spark = false)},
-         |cand AS (
-         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
-         |  FROM buckets q JOIN buckets n
-         |    ON q.bucket = n.bucket AND q.vec_id != n.vec_id
-         |  WHERE q.$ProbeFilter),
-         |scored AS (
-         |  SELECT q_id, n_id, $CosSql AS cos
-         |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
-         |            JOIN embeddings eb ON cand.n_id = eb.vec_id)
-         |SELECT q_id, rank, n_id, cos FROM (
-         |  SELECT q_id, n_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
-         |  FROM scored) r
-         |WHERE rank <= $TopK""".stripMargin,
+    "e02_lsh_topk" -> e02Sql(spark = false),
 
     "e03_ivf_topk" -> ivfSql(spark = false),
 
@@ -459,12 +436,6 @@ object VectorQueries {
 
     "e06_vector_quantize" -> quantizeSql(spark = false),
 
-    "e04_cosine_neardup_pairs" ->
-      s"""WITH ${bandedLshSql(spark = false)},
-         |scored AS (
-         |  SELECT ida, idb, ea.label AS la, eb.label AS lb, $CosSql AS cos
-         |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
-         |            JOIN embeddings eb ON cand.idb = eb.vec_id)
-         |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin
+    "e04_cosine_neardup_pairs" -> e04Sql(spark = false)
   )
 }
