@@ -150,6 +150,32 @@ object StreamingEngine {
     }
   }
 
+  /** Retention delete: evict old batch partitions, bounding the store for
+    * an infinite stream (the TTL the reference never needed because its
+    * store lived and died on one heap). Unlike [[compactStore]] (a
+    * lossless merge), retention FORGETS: an evicted signature probes as a
+    * miss afterwards and is re-learned on its next arrival — the standard
+    * bounded-store trade. A partition is evicted when it falls outside the
+    * newest `keepBatches` ids OR its directory is older than `maxAgeMs`;
+    * the newest partition is never deleted (Structured Streaming may be
+    * mid-retry on exactly that id).
+    */
+  def retainStore(storeDir: String, keepBatches: Int = Int.MaxValue,
+                  maxAgeMs: Long = Long.MaxValue): Unit = {
+    require(keepBatches >= 1, "retention must keep at least the newest batch")
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(new Configuration())
+    val batches = batchIds(storeDir).sorted
+    if (batches.isEmpty) return
+    val now = System.currentTimeMillis()
+    val keepByCount = batches.takeRight(keepBatches).toSet
+    batches.dropRight(1).foreach { b =>
+      val dir = new Path(p, s"batch=$b")
+      val tooOld = now - fs.getFileStatus(dir).getModificationTime > maxAgeMs
+      if (!keepByCount(b) || tooOld) fs.delete(dir, true)
+    }
+  }
+
   /** Start the streaming dedup: watch `inDir` for new `suffix` files, fold
     * each micro-batch through the chunk store at `storeDir`, write per-file
     * metric rows under `statsDir`, and (optionally) the per-batch

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,17 +74,74 @@ private[sources] class ChunkTable(props: Map[String, String])
 }
 
 private[sources] class ChunkScanBuilder(props: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = ChunkDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ChunkScan(props, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition(ChunkFilters.supports)
+    pushed = supported
+    rest // the source applies `pushed` EXACTLY; Spark evaluates only `rest`
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ChunkScan(props, required, pushed)
 }
 
-private[sources] class ChunkScan(props: Map[String, String], required: StructType)
+/** Pushed-filter support for the two pruning-relevant columns:
+  *
+  *   - `file` predicates prune WHOLE FILES at plan time — the footer/header
+  *     metadata read never happens for excluded files (the chunk relation's
+  *     analogue of partition pruning: a file-glob query over a 10⁵-file
+  *     directory plans only the matching files);
+  *   - `chunkType` predicates prune chunk METAS inside each partition —
+  *     excluded regions are never hashed or materialized (e.g.
+  *     `chunkType = 'StripeData'` skips streaming every column region).
+  *
+  * Both are applied exactly (the row predicate and the prune predicate
+  * test the same column values), so accepted filters are NOT re-evaluated
+  * by Spark. Everything else stays a residual Spark filter.
+  */
+private[sources] object ChunkFilters {
+  private val Cols = Set("file", "chunkType")
+
+  def supports(f: Filter): Boolean = f match {
+    case EqualTo(c, v) => Cols(c) && v.isInstanceOf[String]
+    case In(c, vs) => Cols(c) && vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(c, _) => Cols(c)
+    case StringEndsWith(c, _) => Cols(c)
+    case StringContains(c, _) => Cols(c)
+    case _ => false
+  }
+
+  private def predFor(filters: Seq[Filter], column: String): String => Boolean = {
+    val ps = filters.collect {
+      case EqualTo(c, v: String) if c == column => (s: String) => s == v
+      case In(c, vs) if c == column =>
+        val set = vs.collect { case v: String => v }.toSet
+        (s: String) => set(s)
+      case StringStartsWith(c, p) if c == column => (s: String) => s.startsWith(p)
+      case StringEndsWith(c, p) if c == column => (s: String) => s.endsWith(p)
+      case StringContains(c, p) if c == column => (s: String) => s.contains(p)
+    }
+    s => ps.forall(_(s))
+  }
+
+  def filePred(filters: Seq[Filter]): String => Boolean = predFor(filters, "file")
+  def chunkTypePred(filters: Seq[Filter]): String => Boolean =
+    predFor(filters, "chunkType")
+}
+
+private[sources] class ChunkScan(props: Map[String, String], required: StructType,
+                                 filters: Array[Filter] = Array.empty)
     extends Scan with Batch with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // surfaces the pushdown in .explain() the way FileSourceScan's
+  // PushedFilters does (DSv2 renders Scan.description() in the plan node)
+  override def description(): String =
+    s"graft-chunks pushed=[${filters.mkString(", ")}]"
 
   /** Directories below this file count plan on the driver (a Spark job has
     * ~ms overhead per launch; pointless for a handful of footers). Option
@@ -103,7 +160,8 @@ private[sources] class ChunkScan(props: Map[String, String], required: StructTyp
       case other => throw new IllegalArgumentException(
         s"graft-chunks: unknown format '$other' (orc|parquet)")
     }
-    val orcMode = props.getOrElse("orcMode", "stripecolumn").toLowerCase match {
+    // option keys arrive lowercased (CaseInsensitiveStringMap)
+    val orcMode = props.getOrElse("orcmode", "stripecolumn").toLowerCase match {
       case "naive"        => OrcChunker.Naive
       case "column"       => OrcChunker.ColumnBased
       case "stripecolumn" => OrcChunker.StripeColumn
@@ -112,12 +170,24 @@ private[sources] class ChunkScan(props: Map[String, String], required: StructTyp
     }
     val suffix = props.getOrElse("suffix",
       if (fmt == CawdEngine.Orc) ".orc" else ".parquet")
+    // pushed `file` predicates prune whole files BEFORE any metadata read;
+    // pushed `chunkType` predicates prune metas after the file plan, so
+    // excluded regions are never hashed/streamed by the reader. Bucket
+    // assignment runs BEFORE the chunkType prune: split boundaries stay a
+    // pure function of the full file layout, so a filtered scan reads the
+    // same byte windows it would have read unfiltered (just fewer of them).
+    val filePred = ChunkFilters.filePred(filters.toSeq)
+    val typePred = ChunkFilters.chunkTypePred(filters.toSeq)
     val files = CawdEngine.listFiles(path, suffix)
+      .filter { case (f, _) => filePred(f) }
     def planOne(file: String, rank: Int): Seq[ChunkInputPartition] =
       CawdEngine.planFile(file, rank, fmt, orcMode)
         .pipe(ms => CawdEngine.assignBuckets(ms))
         .groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (_, ms) => ChunkInputPartition(file, ms.map(_._1).toArray) }
+        .map { case (_, ms) =>
+          ChunkInputPartition(file, ms.map(_._1).filter(m => typePred(m.chunkType)).toArray)
+        }
+        .filter(_.metas.nonEmpty)
     // Two-phase distributed planning: footer/header parsing is one metadata
     // read per file — serial on the driver it becomes the planner bottleneck
     // at 10⁴+ files, so beyond a small-directory cutoff the per-file plan

@@ -118,4 +118,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(cDedup > 0.0, "post-compaction wave must still dedup against the store")
     spark.stop()
   }
+
+  test("retention evicts old batches; retained signatures still hit") {
+    val spark = GraftSession.get("streaming-retain-spec")
+    import spark.implicits._
+    val store = Files.createTempDirectory("retain-spec").toString
+    def sig(i: Int): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-1").digest(s"s$i".getBytes)
+    def part(b: Long, is: Seq[Int]): Unit =
+      StreamingEngine.writeStorePartition(
+        is.map(i => (sig(i), "DataPageV1", 10L)).toDF("signature", "chunkType", "size"),
+        s"$store/batch=$b")
+    part(0, Seq(1, 2)); part(1, Seq(3, 4)); part(2, Seq(5))
+
+    StreamingEngine.retainStore(store, keepBatches = 2)
+    assert(!new java.io.File(store, "batch=0").exists(), "oldest batch evicted")
+    assert(new java.io.File(store, "batch=1").isDirectory)
+    assert(new java.io.File(store, "batch=2").isDirectory)
+
+    // probe semantics survive: retained signatures still hit; evicted ones
+    // miss (and would be re-learned), which is retention's contract
+    val probe = (1 to 5).map(i => ("f", 0, i, sig(i)))
+      .toDF("file", "fileRank", "seq", "signature")
+    val marked = Dedup.markFirstOccurrence(probe, "seq",
+      StreamingEngine.readStore(spark, store))
+    val inStore = marked.select(col("seq"), col(Dedup.InStoreCol)).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(!inStore(1) && !inStore(2), "evicted signatures miss")
+    assert(inStore(3) && inStore(4) && inStore(5), "retained signatures hit")
+
+    // age-based eviction never touches the newest partition (a stream may
+    // be mid-retry on exactly that id)
+    StreamingEngine.retainStore(store, maxAgeMs = 0L)
+    assert(!new java.io.File(store, "batch=1").exists(), "aged-out batch evicted")
+    assert(new java.io.File(store, "batch=2").isDirectory, "newest never evicted")
+  }
 }

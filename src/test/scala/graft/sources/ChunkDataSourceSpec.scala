@@ -68,6 +68,38 @@ class ChunkDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "distributed planning must produce identical chunk partitions")
   }
 
+  test("pushed filters prune files and chunk metas at plan time") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, StringEndsWith}
+    val props = Map("path" -> s"$dir/orc", "format" -> "orc")
+    def partitions(filters: Array[Filter]): Array[ChunkInputPartition] = {
+      val b = new ChunkScanBuilder(props)
+      assert(b.pushFilters(filters).isEmpty, "supported filters leave no residual")
+      b.build().toBatch.planInputPartitions().map(_.asInstanceOf[ChunkInputPartition])
+    }
+    val all = partitions(Array.empty)
+    val pruned = partitions(Array(EqualTo("chunkType", ChunkType.StripeData)))
+    assert(pruned.flatMap(_.metas).forall(_.chunkType == ChunkType.StripeData))
+    assert(pruned.flatMap(_.metas).length < all.flatMap(_.metas).length,
+      "chunkType pushdown must shrink the planned metas")
+    assert(pruned.flatMap(_.metas).nonEmpty)
+    // file predicates prune whole files before any metadata read
+    assert(partitions(Array(EqualTo("file", "/no/such/file.orc"))).isEmpty)
+    assert(partitions(Array(StringEndsWith("file", ".orc"))).flatMap(_.metas).length ==
+      all.flatMap(_.metas).length)
+
+    // end-to-end: the pushed scan returns exactly the rows a residual
+    // filter would keep, the plan advertises the pushdown, and no Filter
+    // node survives (the predicate is fully absorbed by the source)
+    val df = spark.read.format("graft-chunks").option("format", "orc")
+      .load(s"$dir/orc")
+    val filtered = df.filter(col("chunkType") === ChunkType.StripeData)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[EqualTo(chunkType"), s"plan:\n$plan")
+    assert(!plan.contains("+- Filter"), s"no residual Filter expected:\n$plan")
+    assert(filtered.count() ==
+      df.collect().count(_.getAs[String]("chunkType") == ChunkType.StripeData))
+  }
+
   test("signature projection hashes; pruned scan plan carries only requested columns") {
     val df = spark.read.format("graft-chunks")
       .option("format", "orc").load(s"$dir/orc")
