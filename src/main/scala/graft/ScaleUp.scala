@@ -91,13 +91,19 @@ object ScaleUp {
       .withColumn("n_chars", length(col("text")))
       .drop("rep"), "documents")
 
+    // rotation index wraps at the dimension count (64); replicas past the
+    // wrap additionally NEGATE (norms preserved, cos sign flips), so every
+    // replica up to factor 128 stays direction-distinct from all others —
+    // a plain rep-position slice went negative-length at factor > 64
     write(reps(read("embeddings"))
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding", expr(
         """CASE WHEN rep = 0 THEN embedding
-          |ELSE concat(slice(embedding, CAST(rep + 1 AS INT),
-          |                  size(embedding) - CAST(rep AS INT)),
-          |            slice(embedding, 1, CAST(rep AS INT))) END""".stripMargin))
+          |ELSE transform(
+          |  concat(slice(embedding, CAST(rep % 64 + 1 AS INT),
+          |               size(embedding) - CAST(rep % 64 AS INT)),
+          |         slice(embedding, 1, CAST(rep % 64 AS INT))),
+          |  x -> CASE WHEN rep < 64 THEN x ELSE -x END) END""".stripMargin))
       .drop("rep"), "embeddings")
 
     println(s"[scaleup] wrote $factor x $src -> $dest")
