@@ -12,14 +12,14 @@ import graft.multimodal.Media
   * Correctness model (the CawdExport pattern): every query MATERIALIZES the
   * media table (media_id, modality, content-blob) as parquet, so Spark and
   * the DuckDB oracle consume byte-identical blobs. Images are genuine PNG
-  * bytes decoded with `javax.imageio` ([[Media.ImageCodec]]) and audio is
+  * bytes decoded with `javax.imageio` ([[Media.ImageCodec]]), audio is
   * genuine RIFF/WAVE PCM parsed with `javax.sound.sampled`
-  * ([[Media.AudioCodec]]); the oracle re-parses each PNG's IHDR header
-  * (big-endian width/height at fixed offsets) and each WAV's RIFF header
-  * (little-endian rate/channels/data-size) straight from the blob's hex —
-  * an INDEPENDENT check that the real decode read the right bytes. Video
-  * metadata is the declared digest-derived stub, which DuckDB re-derives
-  * via `md5(hex(content))`.
+  * ([[Media.AudioCodec]]), and video is genuine ISO-BMFF/MP4 demuxed by
+  * [[Media.VideoCodec]]'s box-tree walker; the oracle re-parses each PNG's
+  * IHDR header (big-endian width/height at fixed offsets), each WAV's RIFF
+  * header (little-endian rate/channels/data-size), and each MP4's tkhd
+  * dims + stts/stsz/stco/stss sample tables straight from the blob's hex —
+  * an INDEPENDENT check that the real decode read the right bytes.
   */
 object MediaQueries {
 
@@ -120,18 +120,36 @@ object MediaQueries {
     * byte offsets 16/20 → hex chars 33-40/41-48; dims ≤ 256 live in the low
     * two bytes), audio metadata parses the RIFF/WAVE header (little-endian
     * channels at byte offset 22, sample rate at 24, data size at 40;
-    * PCM frames = data size / (2 × channels)), video dims mirror
-    * [[Media.FakeCodec]]'s digest arithmetic, and the shared digest is
+    * PCM frames = data size / (2 × channels)), video metadata parses the
+    * MP4's fixed layout (see [[Media.VideoCodec]]'s offset table: big-endian
+    * tkhd width/height integer parts at bytes 232/236, stts sample count at
+    * 515 — low halves of the 4-byte fields), and the shared digest is
     * `md5(hex(content))` (DuckDB md5 is VARCHAR-only; both engines' hex is
     * uppercase).
     */
+  private def hxNib(j: String) = s"(strpos('0123456789ABCDEF', substr(hx, $j, 1)) - 1)"
+  /** Big-endian 2-byte value whose first hex char sits at 1-based
+    * position `start` (for the byte at 0-based offset o, start = 2o+1);
+    * `start` may be any SQL expression.
+    */
+  private def hx16(start: Int): String = hx16e(start.toString)
+  private def hx16e(start: String) = {
+    def at(d: Int) = hxNib(s"($start) + $d")
+    s"(4096 * ${at(0)} + 256 * ${at(1)} + 16 * ${at(2)} + ${at(3)})"
+  }
+  // MP4 fixed-layout fields (VideoCodec offset table), as hex positions
+  private val Mp4W = hx16(2 * 232 + 1)      // tkhd width, 16.16 int part
+  private val Mp4H = hx16(2 * 236 + 1)      // tkhd height
+  private val Mp4N = hx16(2 * 517 + 1)      // stts sample count (low half)
+  private val Mp4Delta = hx16(2 * 521 + 1)  // stts sample delta
+  private val Mp4S = hx16(2 * 537 + 1)      // stsz constant sample size
+  private val Mp4K = hx16(2 * 605 + 1)      // stss entry count
+  private val Mp4Mts = hx16(2 * 270 + 1)    // mdhd timescale
+
   private val FeatureCte = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1)"
-    def hxNib(j: Int) = s"(strpos('0123456789ABCDEF', substr(hx, $j, 1)) - 1)"
-    def hx16(start: Int) =
-      s"(4096 * ${hxNib(start)} + 256 * ${hxNib(start + 1)} + 16 * ${hxNib(start + 2)} + ${hxNib(start + 3)})"
     // little-endian byte at 0-based blob offset `off` (hex is 1-based)
-    def hxByte(off: Int) = s"(16 * ${hxNib(2 * off + 1)} + ${hxNib(2 * off + 2)})"
+    def hxByte(off: Int) = s"(16 * ${hxNib((2 * off + 1).toString)} + ${hxNib((2 * off + 2).toString)})"
     val wavRate = s"(${hxByte(24)} + 256 * ${hxByte(25)})"
     val wavCh = hxByte(22)
     val wavData = s"(${hxByte(40)} + 256 * ${hxByte(41)} + 65536 * ${hxByte(42)})"
@@ -140,11 +158,11 @@ object MediaQueries {
        |  SELECT media_id, modality, n_bytes,
        |    CAST(CASE modality WHEN 'image' THEN ${hx16(37)}
        |         WHEN 'audio' THEN $wavRate
-       |         ELSE 16 * (1 + ${nib(0)}) END AS INT) AS width,
+       |         ELSE $Mp4W END AS INT) AS width,
        |    CAST(CASE modality WHEN 'image' THEN ${hx16(45)}
        |         WHEN 'audio' THEN $wavCh
-       |         ELSE 16 * (1 + ${nib(1)}) END AS INT) AS height,
-       |    CAST(CASE modality WHEN 'video' THEN 1 + ${nib(2)}
+       |         ELSE $Mp4H END AS INT) AS height,
+       |    CAST(CASE modality WHEN 'video' THEN $Mp4N
        |         WHEN 'image' THEN 1
        |         ELSE $wavData // (2 * $wavCh) END AS INT) AS n_frames,
        |    $feats
@@ -186,18 +204,26 @@ object MediaQueries {
          |WHERE samp_rank <=
          |  (SELECT min(n) FROM (SELECT count(*) AS n FROM media GROUP BY modality) t)""".stripMargin,
 
+    // Independent re-demux of the MP4 sample tables from hex: frame count /
+    // delta / size / keyframe list at the VideoCodec fixed-layout offsets,
+    // phash = md5 over the hex of the frame's ACTUAL mdat byte range
+    // (payload base 615 + 4·K, frame i at +(i-1)·S), keyframe = membership
+    // in the parsed stss entry list.
     "m04_frame_sample" ->
       s"""WITH vids AS (
-         |  SELECT media_id, md5(hex(content)) AS h,
-         |    1 + (strpos('0123456789abcdef', substr(md5(hex(content)), 3, 1)) - 1) AS n_frames
+         |  SELECT media_id, hex(content) AS hx,
+         |    $Mp4N AS n, $Mp4S AS s, $Mp4K AS k,
+         |    $Mp4Delta AS delta, $Mp4Mts AS mts,
+         |    list_transform(range(0, $Mp4K), j -> ${hx16e("1219 + 8*j")}) AS stss
          |  FROM read_parquet('$mediaGlob') WHERE modality = 'video'),
          |frames AS (
          |  SELECT media_id, CAST(i AS INT) AS frame_idx,
-         |    CAST((i - 1) * 40 AS INT) AS ts_ms,
-         |    md5(h || ':' || CAST(i AS VARCHAR)) AS fh
-         |  FROM vids, UNNEST(range(1, n_frames + 1, 2)) AS t(i))
+         |    CAST((i - 1) * delta * 1000 // mts AS INT) AS ts_ms,
+         |    md5(substr(hx, 2 * (615 + 4*k + (i - 1) * s) + 1, 2 * s)) AS fh,
+         |    list_contains(stss, i) AS is_keyframe
+         |  FROM vids, UNNEST(range(1, n + 1, 2)) AS t(i))
          |SELECT media_id, frame_idx, ts_ms, substr(fh, 1, 16) AS phash,
-         |  (strpos('0123456789abcdef', substr(fh, 17, 1)) - 1) < 4 AS is_keyframe
+         |  is_keyframe
          |FROM frames""".stripMargin
   )
 }

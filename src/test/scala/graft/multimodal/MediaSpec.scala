@@ -66,7 +66,55 @@ class MediaSpec extends AnyFunSuite {
       Media.AudioCodec.encodeWav(22050, 2, nFrames = 321, seed = 0xBEEF)))
   }
 
-  test("extractFeatures decodes image+audio rows for real; stub covers video") {
+  /** Big-endian 16-bit reads at [[Media.VideoCodec]]'s documented fixed
+    * offsets — the same independent check the DuckDB oracle runs.
+    */
+  private def mp4Fixed(mp4: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    def be16(off: Int): Int = ((mp4(off) & 0xFF) << 8) | (mp4(off + 1) & 0xFF)
+    (be16(232), be16(236), be16(517), be16(537), be16(605)) // w, h, N, S, K
+  }
+
+  test("encodeMp4 emits a genuine ISO-BMFF file the box walker demuxes back") {
+    val mp4 = Media.VideoCodec.encodeMp4(208, 96, nFrames = 11, gop = 3,
+      frameSize = 320, seed = 0xCAFE)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(new String(mp4.slice(8, 12), "US-ASCII") == "isom")
+
+    // fixed-offset reparse (the oracle's view) agrees with the inputs
+    val (w, h, n, s, k) = mp4Fixed(mp4)
+    assert((w, h, n, s) == (208, 96, 11, 320))
+    assert(k == 4, "keyframes 1,4,7,10")
+
+    // the REAL decode path: generic box-tree walk + sample-table resolution
+    val m = Media.VideoCodec.parseMeta(mp4)
+    assert((m.width, m.height, m.nFrames) == (208, 96, 11))
+    assert(m.mediaTimescale == 25)
+    assert(m.keyframes == Set(1, 4, 7, 10))
+    assert(m.sampleSizes.forall(_ == 320))
+    // frames tile mdat contiguously from the stco chunk offset
+    assert(m.sampleOffsets.head == 615 + 4 * k)
+    assert(m.sampleOffsets.toSeq == m.sampleOffsets.indices.map(i => 615L + 4 * k + i * 320L))
+    assert(m.sampleOffsets.last + 320 == mp4.length)
+    // stts ticks at delta 1 over timescale 25 → 40 ms per frame
+    assert(m.sampleTimes.toSeq == (0 until 11).map(_.toLong))
+    // deterministic: same inputs → same bytes
+    assert(mp4.sameElements(Media.VideoCodec.encodeMp4(208, 96, 11, 3, 320, 0xCAFE)))
+  }
+
+  test("parseMeta is layout-agnostic: mdat-first file still demuxes") {
+    val mp4 = Media.VideoCodec.encodeMp4(64, 48, nFrames = 5, gop = 2,
+      frameSize = 100, seed = 1)
+    val ftypEnd = 24
+    val moovEnd = mp4.length - (8 + 5 * 100)
+    // rebuild as [ftyp][mdat][moov] — a legal ISO-BMFF ordering
+    val reordered = mp4.slice(0, ftypEnd) ++ mp4.slice(moovEnd, mp4.length) ++
+      mp4.slice(ftypEnd, moovEnd)
+    val m = Media.VideoCodec.parseMeta(reordered)
+    assert((m.width, m.height, m.nFrames) == (64, 48, 5))
+    assert(m.keyframes == Set(1, 3, 5))
+  }
+
+  test("extractFeatures decodes image+audio+video rows for real") {
     val spark = GraftSession.get("media-spec")
     import spark.implicits._
     val docs = spark.range(0, 30)
@@ -90,6 +138,28 @@ class MediaSpec extends AnyFunSuite {
       assert(f.n_bytes == content.length)
     }
     assert(feats.count(_.modality == "audio") > 0)
+    feats.filter(_.modality == "video").foreach { f =>
+      val content = rows(f.media_id).content
+      // real demux: dims/frames equal an independent fixed-offset parse
+      val (w, h, n, _, _) = mp4Fixed(content)
+      assert((w, h, n) == (f.width, f.height, f.n_frames))
+      assert(f.n_bytes == content.length)
+    }
+    assert(feats.count(_.modality == "video") > 0)
+
+    // frame sampling digests the ACTUAL mdat byte ranges
+    val frames = Media.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fr =>
+      val content = rows(fr.media_id).content
+      val m = Media.VideoCodec.parseMeta(content)
+      val off = m.sampleOffsets(fr.frame_idx - 1).toInt
+      val bytes = java.util.Arrays.copyOfRange(
+        content, off, off + m.sampleSizes(fr.frame_idx - 1))
+      assert(fr.phash == Media.hexDigest(bytes).substring(0, 16))
+      assert(fr.ts_ms == (fr.frame_idx - 1) * 40)
+      assert(fr.is_keyframe == m.keyframes.contains(fr.frame_idx))
+    }
     media.unpersist()
   }
 }
