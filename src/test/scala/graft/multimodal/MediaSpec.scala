@@ -101,6 +101,72 @@ class MediaSpec extends AnyFunSuite {
     assert(mp4.sameElements(Media.VideoCodec.encodeMp4(208, 96, 11, 3, 320, 0xCAFE)))
   }
 
+  test("encodeMp4 round-trips under 200 random parameter draws") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val w = 16 * (1 + rnd.nextInt(16)); val h = 16 * (1 + rnd.nextInt(16))
+      val n = 1 + rnd.nextInt(16); val gop = 1 + rnd.nextInt(4)
+      val fs = 64 * (1 + rnd.nextInt(8)); val seed = rnd.nextInt()
+      val mp4 = Media.VideoCodec.encodeMp4(w, h, n, gop, fs, seed)
+      val m = Media.VideoCodec.parseMeta(mp4)
+      val k = (1 to n by gop).size
+      assert((m.width, m.height, m.nFrames) == (w, h, n))
+      assert(m.keyframes == (1 to n by gop).toSet)
+      assert(m.sampleOffsets.head == 615 + 4 * k)
+      assert(m.sampleOffsets.last + fs == mp4.length)
+      val (fw, fh, fn, fss, fk) = mp4Fixed(mp4)
+      assert((fw, fh, fn, fss, fk) == (w, h, n, fs, k))
+    }
+  }
+
+  /** A multi-chunk, table-stsz, v1-tkhd file our encoder never emits:
+    * chunk 1 holds 2 samples at offset 1000, chunk 2 holds 3 at 2000,
+    * sizes 10..50, two stts runs, no stss. Exercises the parser's general
+    * stsc walk, v1 header widths, and the stss-absent ⇒ all-sync rule.
+    */
+  private def foreignMp4(): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(357)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    def box(size: Int, tpe: String): Unit = { buf.putInt(size); fourcc(tpe) }
+    box(357, "moov")
+    box(349, "trak")
+    box(104, "tkhd"); buf.putInt(0x01000007)      // version 1
+    buf.putLong(0); buf.putLong(0); buf.putInt(1); buf.putInt(0); buf.putLong(5)
+    buf.putLong(0); buf.putLong(0)                // reserved + layer..reserved
+    for (v <- Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+      buf.putInt(v)
+    buf.putInt(320 << 16); buf.putInt(240 << 16)
+    box(237, "mdia")
+    box(32, "mdhd"); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    buf.putInt(30); buf.putInt(5); buf.putShort(0x55C4.toShort); buf.putShort(0)
+    box(45, "hdlr"); buf.putInt(0); buf.putInt(0); fourcc("vide")
+    buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    buf.put("VideoHandler".getBytes("US-ASCII")); buf.put(0.toByte)
+    box(152, "minf")
+    box(144, "stbl")
+    box(32, "stts"); buf.putInt(0); buf.putInt(2)
+    buf.putInt(2); buf.putInt(5); buf.putInt(3); buf.putInt(7)
+    box(40, "stsz"); buf.putInt(0); buf.putInt(0); buf.putInt(5)
+    for (s <- Seq(10, 20, 30, 40, 50)) buf.putInt(s)
+    box(40, "stsc"); buf.putInt(0); buf.putInt(2)
+    buf.putInt(1); buf.putInt(2); buf.putInt(1)
+    buf.putInt(2); buf.putInt(3); buf.putInt(1)
+    box(24, "stco"); buf.putInt(0); buf.putInt(2)
+    buf.putInt(1000); buf.putInt(2000)
+    require(!buf.hasRemaining)
+    buf.array()
+  }
+
+  test("parseMeta resolves multi-chunk stsc/stco, stsz tables, v1 tkhd") {
+    val m = Media.VideoCodec.parseMeta(foreignMp4())
+    assert((m.width, m.height, m.nFrames) == (320, 240, 5))
+    assert(m.mediaTimescale == 30)
+    assert(m.sampleSizes.toSeq == Seq(10, 20, 30, 40, 50))
+    assert(m.sampleOffsets.toSeq == Seq(1000L, 1010L, 2000L, 2030L, 2070L))
+    assert(m.sampleTimes.toSeq == Seq(0L, 5L, 10L, 17L, 24L))
+    assert(m.keyframes == Set(1, 2, 3, 4, 5), "no stss => every sample sync")
+  }
+
   test("parseMeta is layout-agnostic: mdat-first file still demuxes") {
     val mp4 = Media.VideoCodec.encodeMp4(64, 48, nFrames = 5, gop = 2,
       frameSize = 100, seed = 1)
