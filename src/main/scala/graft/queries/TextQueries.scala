@@ -444,91 +444,15 @@ object TextQueries {
         .select("ida", "idb")
       // Cluster ONLY the near-dup subgraph: docs that appear in some edge.
       // Singletons — the overwhelming majority of any deduped corpus — skip
-      // the loop entirely and re-enter as their own cluster at the end, so
-      // each iteration joins edge-count-sized tables, not the corpus.
+      // clustering entirely and re-enter as their own cluster at the end.
+      // [[graft.operators.ConnectedComponents]] picks the physical strategy
+      // from the measured edge count: bounded driver union-find for small
+      // subgraphs (the test-SF and most-production case), distributed
+      // large-star/small-star (O(log n) rounds) above the broadcast-sized
+      // bound — both value-identical min-label components.
       val nodes = pairs.select(col("ida").as("doc_id"))
         .unionByName(pairs.select(col("idb").as("doc_id"))).distinct().cache()
-      // Connected components via LARGE-STAR / SMALL-STAR alternation
-      // (Kiveris et al. 2014, "Connected Components in MapReduce and
-      // Beyond"): each round rewires every node toward its neighborhood
-      // minimum, halving component heights — O(log n) rounds on ANY graph
-      // shape, where min-label propagation needs rounds ≈ cluster DIAMETER
-      // (a chain of borderline near-dups used to pay one Spark job per hop).
-      // Edges are kept directed big→small (src > dst), one row per pair.
-      def symmetrize(e: DataFrame): DataFrame =
-        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      // large-star: every node attaches its LARGER neighbors to
-      // m = min(N(u) ∪ {u}) — long chains collapse toward minima
-      def largeStar(e: DataFrame): DataFrame = {
-        val sym = symmetrize(e)
-        val mins = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
-          .select(col("u"), least(col("u"), col("mn")).as("m"))
-        sym.filter(col("dst") > col("src"))
-          .join(mins, col("src") === col("u"))
-          .select(col("dst").as("src"), col("m").as("dst"))
-          .filter(col("src") =!= col("dst")).distinct()
-      }
-      // small-star: every node attaches its SMALLER neighbors (and itself)
-      // to their minimum — stars flatten onto the true component root
-      def smallStar(e: DataFrame): DataFrame = {
-        val lows = symmetrize(e).filter(col("dst") < col("src"))
-        val mins = lows.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
-        lows.join(mins, col("src") === col("u"))
-          .select(col("dst").as("src"), col("m").as("dst"))
-          .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
-          .filter(col("src") =!= col("dst")).distinct()
-      }
-      // AQE off for the loop body (its per-stage re-planning turns every
-      // round into several sequential driver round-trips) and shuffle
-      // partitions sized to the SUBGRAPH — each star is ~4 exchanges, and
-      // 32-partition stages over a few hundred edges are pure task
-      // overhead. localCheckpoint truncates lineage each round — the edge
-      // table stays a flat scan instead of an ever-deepening join tree.
-      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      var cur = pairs
-        .select(greatest(col("ida"), col("idb")).as("src"),
-          least(col("ida"), col("idb")).as("dst"))
-        .distinct().localCheckpoint(true)
-      try {
-        // per-round fixpoint probe: ONE tiny aggregate (count + src/dst
-        // sums as DECIMAL(38,0) — BIGINT sums of large doc_ids overflow).
-        // Metric equality is NECESSARY for set equality, so the exact
-        // except() confirmation only runs when the metrics stall —
-        // normally exactly once, on the final round.
-        def metrics(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
-          val z = lit(0).cast("decimal(38,0)")
-          val r = e.agg(count(lit(1)),
-            coalesce(sum(col("src").cast("decimal(38,0)")), z),
-            coalesce(sum(col("dst").cast("decimal(38,0)")), z)).head()
-          (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
-        }
-        var curM = metrics(cur)
-        var converged = curM._1 == 0L
-        var rounds = 0
-        while (!converged) {
-          rounds += 1
-          // O(log² n) is the proven bound; 64 rounds covers any conceivable
-          // component — exceeding it means a rewiring bug, fail loudly
-          require(rounds <= 64, "large-star/small-star failed to converge")
-          val next = smallStar(largeStar(cur)).localCheckpoint(true)
-          val nextM = metrics(next)
-          converged = nextM == curM && next.except(cur).isEmpty
-          curM = nextM
-          cur = next
-        }
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      // at the fixpoint every edge is (member, component-root); roots keep
-      // themselves (appear only on the dst side)
-      val labels = nodes
-        .join(cur.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("l")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("label"))
+      val labels = graft.operators.ConnectedComponents.minLabels(pairs)
       df.select(col("doc_id"))
         .join(nodes, Seq("doc_id"), "left_anti")
         .withColumn("label", col("doc_id"))
