@@ -61,7 +61,12 @@ object MediaQueries {
     // Modality rebalancing: deterministically down-sample every modality
     // to the size of the SMALLEST one (the stratified-balance step a
     // multimodal training mix ends with). Selection is by digest order, so
-    // the "random" sample is reproducible in both engines.
+    // the "random" sample is reproducible in both engines. The digest is
+    // METADATA-derived — md5(modality:media_id) — so the parquet scan
+    // prunes the blob column entirely: a balance decision over 10⁹ media
+    // rows must never read, hex, and hash the media bytes themselves
+    // (the previous md5(hex(content)) key turned ~9 GB of blobs into
+    // ~18 GB of hex strings at 10× scale for no sampling benefit).
     //
     // Exact-K selection WITHOUT a per-modality global sort: rows bucket by
     // the first two hex chars of the digest (a prefix, so within-bucket
@@ -75,7 +80,8 @@ object MediaQueries {
     "m05_modality_balance" -> ((s, d) => {
       mediaExport(s, d)
         .select(col("media_id"), col("modality"),
-          md5(hex(col("content"))).as("h"))
+          md5(concat(col("modality"), lit(":"),
+            col("media_id").cast("string"))).as("h"))
         .createOrReplaceTempView("m05_media")
       s.sql(
         """WITH m AS (
@@ -194,7 +200,8 @@ object MediaQueries {
 
     "m05_modality_balance" ->
       s"""WITH media AS (
-         |  SELECT media_id, modality, md5(hex(content)) AS h
+         |  SELECT media_id, modality,
+         |    md5(modality || ':' || CAST(media_id AS VARCHAR)) AS h
          |  FROM read_parquet('$mediaGlob')),
          |ranked AS (
          |  SELECT media_id, modality, h,
