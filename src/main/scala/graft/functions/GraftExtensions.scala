@@ -67,6 +67,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprint(exprs(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("sign_lsh_buckets"),
+      new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh_buckets"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 4)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`sign_lsh_buckets`", "expectedNum" -> "4",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        SignLshBuckets(exprs(0), exprs(1), exprs(2), exprs(3))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -76,43 +76,56 @@ object VectorQueries {
     */
   private def bandedCtes(spark: Boolean, nbExpr: String, maxBands: Int,
                          minPlanes: Int, seed: String): String = {
-    val explode = if (spark) "explode" else "unnest"
-    val strposFn = if (spark) "instr" else "strpos"
     val npMax = 24
     val maxPlanes = maxBands * npMax
     val np = "(SELECT np FROM nparams)"
     val nb = "(SELECT nb FROM nparams)"
-    val shl = if (spark) s"shiftleft(b, CAST(p % $np AS INT))"
-              else s"(b << (p % $np))"
-    s"""nparams AS (
-       |  SELECT np, $nbExpr AS nb FROM (
-       |    SELECT least($npMax, greatest($minPlanes,
-       |      CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS np
-       |    FROM embeddings) t),
-       |flat AS (
-       |  SELECT vec_id, i, CAST(${if (spark) "element_at(embedding, CAST(i AS INT))"
-                                   else "embedding[i]"} AS DOUBLE) AS x
-       |  FROM embeddings ${if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
-                            else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"}),
-       |planes AS (
-       |  SELECT CAST(floor(k / 64.0) AS INT) AS p, (k % 64) + 1 AS i,
-       |    ($strposFn('0123456789abcdef',
-       |       substr(md5('$seed' || CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
-       |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
-       |  FROM (SELECT $explode(${if (spark) "sequence(0, " + (maxPlanes * 64 - 1) + ")"
-                                  else s"range(0, ${maxPlanes * 64})"}) AS k) kk
-       |  WHERE floor(k / 64.0) < $nb * $np),
-       |signs AS (
-       |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
-       |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
-       |bandbuckets AS (
-       |  SELECT vec_id, band, CAST(sum(sb) AS BIGINT) AS bucket
-       |  FROM (SELECT vec_id,
-       |          CAST(floor(p / CAST($np AS DOUBLE)) AS INT) AS band,
-       |          $shl AS sb
-       |        FROM signs) z
-       |  GROUP BY vec_id, band)
-       |""".stripMargin
+    val nparams =
+      s"""nparams AS (
+         |  SELECT np, $nbExpr AS nb FROM (
+         |    SELECT least($npMax, greatest($minPlanes,
+         |      CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS np
+         |    FROM embeddings) t)""".stripMargin
+    if (spark)
+      // Spark side: the native [[graft.functions.SignLshBuckets]] kernel
+      // computes every band bucket in one pass inside the scan's
+      // whole-stage-codegen projection — the relational formulation below
+      // (which the ORACLE still runs as the independent re-derivation)
+      // pushed N·d·(nb·np) rows through a shuffle + hash aggregate just to
+      // recover per-plane signs (683 M rows / 7.5 s at sf0.1 for e02's
+      // 64-band index).
+      s"""$nparams,
+         |bandbuckets AS (
+         |  SELECT vec_id, band, bucket
+         |  FROM (SELECT vec_id,
+         |          sign_lsh_buckets(embedding, CAST($np AS INT),
+         |            CAST($nb AS INT), '$seed') AS bks
+         |        FROM embeddings) e
+         |  LATERAL VIEW posexplode(bks) t AS band, bucket)
+         |""".stripMargin
+    else
+      s"""$nparams,
+         |flat AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+         |planes AS (
+         |  SELECT CAST(floor(k / 64.0) AS INT) AS p, (k % 64) + 1 AS i,
+         |    (strpos('0123456789abcdef',
+         |       substr(md5('$seed' || CAST(CAST(floor(k / 64.0) AS INT) AS STRING) || ':' ||
+         |                  CAST((k % 64) + 1 AS STRING)), 1, 1)) - 1) - 7.5 AS w
+         |  FROM (SELECT unnest(range(0, ${maxPlanes * 64})) AS k) kk
+         |  WHERE floor(k / 64.0) < $nb * $np),
+         |signs AS (
+         |  SELECT vec_id, p, CASE WHEN round(sum(x * w), 6) > 0 THEN 1 ELSE 0 END AS b
+         |  FROM flat JOIN planes USING (i) GROUP BY vec_id, p),
+         |bandbuckets AS (
+         |  SELECT vec_id, band, CAST(sum(sb) AS BIGINT) AS bucket
+         |  FROM (SELECT vec_id,
+         |          CAST(floor(p / CAST($np AS DOUBLE)) AS INT) AS band,
+         |          (b << (p % $np)) AS sb
+         |        FROM signs) z
+         |  GROUP BY vec_id, band)
+         |""".stripMargin
   }
 
   /** e02 SQL, both engines: OR-construction sign-LSH top-k — candidates are
