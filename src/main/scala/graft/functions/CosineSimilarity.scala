@@ -7,7 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two FLOAT vectors.
+/** Native Catalyst expression: cosine similarity of two numeric vectors
+  * (each side independently `ARRAY<FLOAT>` or `ARRAY<DOUBLE>` — the
+  * double form exists for trained structures like IVF cell medians, which
+  * are 6-decimal doubles that must not round-trip through float).
   *
   * The composable formulation (`aggregate(zip_with(a, b, *), ...)`) builds
   * an intermediate array per pair and folds it with three separate passes
@@ -28,14 +31,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
+      case ArrayType(FloatType, _)  => true
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
+      s"$prettyName requires two ARRAY<FLOAT|DOUBLE> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -46,11 +53,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n == 0 || n != y.numElements()) return null
+    val lf = isFloat(left); val rf = isFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -67,6 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      def get(arr: String, idx: String, float: Boolean): String =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
          |final int $n = $x.numElements();
          |if ($n == 0 || $n != $y.numElements()) {
@@ -74,8 +84,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xi = (double) $x.getFloat($i);
-         |    final double $yi = (double) $y.getFloat($i);
+         |    final double $xi = ${get(x, i, isFloat(left))};
+         |    final double $yi = ${get(y, i, isFloat(right))};
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  if ($na == 0.0 || $nb == 0.0) {

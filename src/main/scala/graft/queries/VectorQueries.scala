@@ -183,24 +183,95 @@ object VectorQueries {
     */
   private def ivfAssignCtes(spark: Boolean,
                             trainSample: Boolean = false): (String, String, String) = {
-    val medianFn = if (spark) "percentile(x, 0.5)" else "median(x)"
-    val elem = if (spark) "element_at(embedding, CAST(i AS INT))" else "embedding[i]"
-    val lat = if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
-              else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"
-    val strposFn = if (spark) "instr" else "strpos"
-    val cast = if (spark) "STRING" else "VARCHAR"
+    val last = IvfIterations
+    if (spark) ivfAssignCtesSpark(trainSample, last)
+    else ivfAssignCtesDuck(trainSample, last)
+  }
+
+  /** Spark side: per-round scoring is `embeddings × exploded cell-median
+    * ARRAYS` through the native `cosine_sim` kernel — N·C rows inside the
+    * scan's codegen projection (the cells relation collapses to ONE row of
+    * `array<struct<cell, cvec>>`, a scalar subquery the plan broadcasts;
+    * no join, no shuffle). The relational per-dimension formulation the
+    * ORACLE runs ([[ivfAssignCtesDuck]]) pushed N·d·C rows through a
+    * shuffle + hash aggregate PER TRAINING ROUND (139 M rows/round at
+    * sf0.1 — the bulk of e03/e05/e07's cost). Medians stay 6-decimal
+    * DOUBLES end-to-end (cosine_sim's double-array side exists for this);
+    * cos parity with the SQL sum is the same round-6 contract e01 uses.
+    */
+  private def ivfAssignCtesSpark(trainSample: Boolean, last: Int): (String, String, String) = {
+    val trainSrc = if (trainSample) "tflat" else "flat"
+    val seedSrc = if (trainSample) "samp" else "embeddings"
+    val trainEmb = if (trainSample)
+      "(SELECT e.vec_id, e.embedding FROM embeddings e JOIN samp USING (vec_id)) te"
+    else "embeddings"
+    val sampleCtes = if (!trainSample) "" else
+      s"""samp AS (
+         |  SELECT vec_id FROM embeddings
+         |  WHERE instr('0123456789abcdef',
+         |          substr(md5(CAST(vec_id AS STRING)), 1, 1)) - 1 < 8),
+         |tflat AS (SELECT f.vec_id, f.i, f.x FROM flat f JOIN samp USING (vec_id)),
+         |""".stripMargin
+    def score(name: String, cellsOf: String, src: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cc.cell AS cell,
+         |    round(cosine_sim(embedding, cc.cvec), 6) AS cos
+         |  FROM $src LATERAL VIEW explode((SELECT cells FROM $cellsOf)) t AS cc)"""
+    val iters = (1 to IvfIterations).map { it =>
+      s"""c$it AS (
+         |  SELECT cell, i, round(percentile(x, 0.5), 6) AS cx
+         |  FROM $trainSrc JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
+         |cl$it AS (
+         |  SELECT collect_list(struct(cell, cvec)) AS cells FROM (
+         |    SELECT cell,
+         |      transform(array_sort(collect_list(struct(i, cx))), e -> e.cx) AS cvec
+         |    FROM c$it GROUP BY cell)),
+         |${score(s"s$it", s"cl$it", trainEmb)},
+         |a$it AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+         |    FROM s$it) t WHERE r = 1),""".stripMargin
+    }.mkString("\n")
+    // sampled training adds ONE final full-corpus scoring/assignment pass
+    // against the last trained centroids; full training reuses the last
+    // round's relations directly (no extra pass)
+    val finalCtes = if (!trainSample) "" else
+      s"""
+         |${score("sfull", s"cl$last", "embeddings")},
+         |afull AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+         |    FROM sfull) t WHERE r = 1),""".stripMargin
+    val ctes =
+      s"""params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings),
+         |flat AS (
+         |  SELECT vec_id, i, CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) AS x
+         |  FROM embeddings LATERAL VIEW explode(sequence(1, size(embedding))) t AS i),
+         |${sampleCtes}a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
+         |       FROM $seedSrc),
+         |$iters$finalCtes""".stripMargin
+    if (trainSample) (ctes, "sfull", "afull") else (ctes, s"s$last", s"a$last")
+  }
+
+  /** DuckDB side: the original per-dimension relational formulation — the
+    * independent re-derivation of the trained index the oracle compares
+    * against.
+    */
+  private def ivfAssignCtesDuck(trainSample: Boolean, last: Int): (String, String, String) = {
     val trainSrc = if (trainSample) "tflat" else "flat"
     val seedSrc = if (trainSample) "samp" else "embeddings"
     val sampleCtes = if (!trainSample) "" else
       s"""samp AS (
          |  SELECT vec_id FROM embeddings
-         |  WHERE $strposFn('0123456789abcdef',
-         |          substr(md5(CAST(vec_id AS $cast)), 1, 1)) - 1 < 8),
+         |  WHERE strpos('0123456789abcdef',
+         |          substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1 < 8),
          |tflat AS (SELECT f.vec_id, f.i, f.x FROM flat f JOIN samp USING (vec_id)),
          |""".stripMargin
     val iters = (1 to IvfIterations).map { it =>
       s"""c$it AS (
-         |  SELECT cell, i, round($medianFn, 6) AS cx
+         |  SELECT cell, i, round(median(x), 6) AS cx
          |  FROM $trainSrc JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
          |s$it AS (
          |  SELECT f.vec_id, c.cell,
@@ -213,10 +284,6 @@ object VectorQueries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
          |    FROM s$it) t WHERE r = 1),""".stripMargin
     }.mkString("\n")
-    // sampled training adds ONE final full-corpus scoring/assignment pass
-    // against the last trained centroids; full training reuses the last
-    // round's relations directly (no extra pass)
-    val last = IvfIterations
     val finalCtes = if (!trainSample) "" else
       s"""
          |sfull AS (
@@ -232,8 +299,8 @@ object VectorQueries {
     val ctes =
       s"""params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings),
          |flat AS (
-         |  SELECT vec_id, i, CAST($elem AS DOUBLE) AS x
-         |  FROM embeddings $lat),
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
          |${sampleCtes}a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
          |       FROM $seedSrc),
