@@ -67,6 +67,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprint(exprs(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fp_set"),
+      new ExpressionInfo(classOf[WinnowFingerprintSet].getName, "winnow_fp_set"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`winnow_fp_set`", "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        WinnowFingerprintSet(exprs(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sign_lsh_buckets"),
       new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh_buckets"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

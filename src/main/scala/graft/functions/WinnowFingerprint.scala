@@ -48,6 +48,34 @@ case class WinnowFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: the full distinct winnowing-fingerprint set
+  * of a document as `ARRAY<STRING>` (hex, ascending) — same selection as
+  * [[WinnowFingerprint]] but returning the posting list instead of the
+  * summary, for cross-document duplicated-span detection (explode →
+  * fingerprint postings → docs sharing a fingerprint).
+  */
+case class WinnowFingerprintSet(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "winnow_fp_set"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.computeSet(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFingerprint.computeSet($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintSet =
+    copy(child = newChild)
+}
+
 object WinnowFingerprint {
 
   /** Char n-gram width and winnowing window (SURVEY §2 fingerprints). */
@@ -67,14 +95,15 @@ object WinnowFingerprint {
     false
   }
 
-  /** Shared by interpreted eval and generated code. Substrings are
-    * CODE-POINT-based (like SQL substr in both engines — supplementary-plane
-    * characters count as 1, unlike java.lang.String's UTF-16 units) and
-    * hashed as their UTF-8 bytes — exactly what `md5(substr(text, i, 8))`
-    * digests. Code-point start offsets are indexed once up front so each
-    * gram is a direct byte-slice digest, keeping the loop O(len).
+  /** Shared winnowing core: the sorted (unsigned byte order) set of
+    * DISTINCT window-minimum gram digests. Substrings are CODE-POINT-based
+    * (like SQL substr in both engines — supplementary-plane characters
+    * count as 1, unlike java.lang.String's UTF-16 units) and hashed as
+    * their UTF-8 bytes — exactly what `md5(substr(text, i, 8))` digests.
+    * Code-point start offsets are indexed once up front so each gram is a
+    * direct byte-slice digest, keeping the loop O(len).
     */
-  def compute(text: UTF8String): InternalRow = {
+  private def selectedMins(text: UTF8String): java.util.TreeSet[Array[Byte]] = {
     val bytes = text.getBytes
     val starts = new Array[Int](bytes.length + 1)
     var len = 0
@@ -96,8 +125,8 @@ object WinnowFingerprint {
       digests(i) = md.digest()
       i += 1
     }
-    val distinct = new java.util.HashSet[java.nio.ByteBuffer]()
-    var globalMin: Array[Byte] = null
+    val distinct = new java.util.TreeSet[Array[Byte]](
+      (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b))
     var j = 0
     while (j < n) {
       var m = digests(j)
@@ -107,19 +136,43 @@ object WinnowFingerprint {
         if (less(digests(k), m)) m = digests(k)
         k += 1
       }
-      distinct.add(java.nio.ByteBuffer.wrap(m))
-      if (globalMin == null || less(m, globalMin)) globalMin = m
+      distinct.add(m)
       j += 1
     }
+    distinct
+  }
+
+  private def hex32(d: Array[Byte]): UTF8String = {
     val out = new Array[Char](32)
     var h = 0
     while (h < 16) {
-      val v = globalMin(h) & 0xFF
+      val v = d(h) & 0xFF
       out(h * 2) = HexTab(v >> 4)
       out(h * 2 + 1) = HexTab(v & 0xF)
       h += 1
     }
-    InternalRow(distinct.size().toLong, UTF8String.fromString(new String(out)))
+    UTF8String.fromString(new String(out))
+  }
+
+  /** Per-doc summary (the `winnow_fp` value): distinct count + global
+    * minimum. Unsigned digest order equals hex-string order, so the tree's
+    * first element IS the min fingerprint.
+    */
+  def compute(text: UTF8String): InternalRow = {
+    val distinct = selectedMins(text)
+    InternalRow(distinct.size().toLong, hex32(distinct.first()))
+  }
+
+  /** Full distinct fingerprint set, hex, ascending — the per-doc posting
+    * list the cross-document span-dup join (d26) explodes.
+    */
+  def computeSet(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val distinct = selectedMins(text)
+    val out = new Array[Any](distinct.size())
+    val it = distinct.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = hex32(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** DataFrame-API door; resolves through the session function registry. */

@@ -818,6 +818,26 @@ object TextQueries {
         """SELECT doc_id, fp.n_fingerprints AS n_fingerprints,
           |       fp.min_fingerprint AS min_fingerprint
           |FROM (SELECT doc_id, winnow_fp(text) AS fp FROM documents)""".stripMargin)
+    }),
+
+    // Cross-document duplicated spans — the approximate form of exact-
+    // substring dedup (Lee et al. 2021): build fingerprint POSTINGS from
+    // each doc's distinct winnowing fingerprints (native `winnow_fp_set`,
+    // one zero-shuffle kernel call per doc) and keep the 200 most-shared
+    // fingerprints. The explode + hash-agg is the minimal inverted-index
+    // shape — fingerprint keys are md5-uniform so the groupBy is
+    // skew-immune, and the top-k is an orderBy+limit Spark plans as
+    // TakeOrderedAndProject (per-partition heaps, never a global sort).
+    // Ties break on fp (unique), so the LIMIT selects a deterministic set
+    // in both engines.
+    "d26_winnow_span_dups" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH fps AS (
+          |  SELECT doc_id, explode(winnow_fp_set(text)) AS fp FROM documents)
+          |SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+          |FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY n_docs DESC, fp ASC LIMIT 200""".stripMargin)
     })
   )
 
@@ -1161,6 +1181,22 @@ object TextQueries {
         |  FROM grams)
         |SELECT doc_id, len(list_distinct(fps)) AS n_fingerprints,
         |       list_aggregate(fps, 'min') AS min_fingerprint
-        |FROM wins""".stripMargin
+        |FROM wins""".stripMargin,
+
+    "d26_winnow_span_dups" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 6, 2)),
+        |                   i -> md5(substr(text, CAST(i AS INT), 8))) AS g
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(g) + 1),
+        |                  j -> list_aggregate(g[j:j+3], 'min'))) AS fps
+        |  FROM grams),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+        |SELECT fp, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, fp ASC LIMIT 200""".stripMargin
   )
 }

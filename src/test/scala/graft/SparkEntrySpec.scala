@@ -18,6 +18,6 @@ class SparkEntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
-    assert(q.size == 67)
+    assert(q.size == 68)
   }
 }

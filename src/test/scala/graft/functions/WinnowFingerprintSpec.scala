@@ -57,6 +57,39 @@ class WinnowFingerprintSpec extends AnyFunSuite {
     assert(viaExpr(texts).toSeq == viaSql(texts).toSeq)
   }
 
+  test("winnow_fp_set: sorted distinct set consistent with the summary and SQL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = Seq("a", "b", " ", "c", "d", "é", "!")
+    val texts = Seq("", "12345678", "abcabcabcabc") ++
+      Seq.fill(20)(Seq.fill(rnd.nextInt(100))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").createOrReplaceTempView("wset")
+    val rows = spark.sql(
+      """SELECT doc_id, winnow_fp_set(text) AS s, winnow_fp(text) AS fp
+        |FROM wset""".stripMargin).collect()
+    rows.foreach { r =>
+      val set = r.getSeq[String](1)
+      assert(set == set.sorted && set.distinct == set, "sorted, distinct")
+      assert(set.size.toLong == r.getStruct(2).getLong(0), "size == summary count")
+      assert(set.head == r.getStruct(2).getString(1), "first == min fingerprint")
+    }
+    // cross-check membership against the SQL formulation's distinct set
+    val sql = spark.sql(
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    transform(sequence(1, greatest(length(text) - 7, 1)),
+        |              i -> md5(substr(text, CAST(i AS INT), 8))) AS g
+        |  FROM wset)
+        |SELECT doc_id,
+        |  array_sort(array_distinct(
+        |    transform(g, (x, j) -> array_min(slice(g, j + 1, 4))))) AS fps
+        |FROM grams""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach(r => assert(r.getSeq[String](1) == sql(r.getLong(0))))
+  }
+
   test("works from SQL and stays a codegen'd narrow projection") {
     import spark.implicits._
     // parquet-backed (a LOCAL relation collapses to LocalTableScan with no
