@@ -619,7 +619,13 @@ object TextQueries {
         // bloom prefilter: narrow, no shuffle, codegen'd bit-test
         .filter(call_function("graft_might_contain",
           lit(bloomBytes), xxhash64(col("s5"))))
-        .join(broadcast(bench), Seq("s5"), "left_semi") // exact FP removal
+        // exact FP removal. NO broadcast hint: the benchmark shingle set
+        // grows with the benchmark (15 M rows / ~1 GB at 10× — a forced
+        // broadcast cost 54 s rebuilding a giant hash table per task,
+        // defeating the bloom). Post-bloom the corpus side is only true
+        // hits + ~3% FPs, so AQE broadcasts whichever side is actually
+        // small and shuffles otherwise — the 10⁹-doc shape.
+        .join(bench, Seq("s5"), "left_semi")
         .dropDuplicates("doc_id", "s5")           // only survivors reach the shuffle
         .groupBy("source").agg(
           countDistinct(col("doc_id")).as("n_docs"),
