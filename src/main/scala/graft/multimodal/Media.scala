@@ -35,9 +35,9 @@ object Media {
       media_id: Long,
       modality: String,
       n_bytes: Long,
-      width: Int,         // image: REAL decoded dims; audio/video: stub
-      height: Int,
-      n_frames: Int,      // video: sampled frame count; 1 for image, 0 audio
+      width: Int,         // image/video: decoded dims; audio: sample rate
+      height: Int,        // audio: channel count
+      n_frames: Int,      // video: stts sample count; 1 image; PCM frames audio
       feature: Array[Double]) // 8-dim embedding stand-in
 
   /** Digest shared with the DuckDB oracle: md5 over the UPPERCASE hex
