@@ -33,4 +33,37 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame   = fixEventTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Parallelism for CPU-dense derivations must follow ROWS, not bytes.
+    *
+    * Compressed columnar inputs pack enormous derived work (per-gram MD5s,
+    * per-cell cosine scoring, codec passes) into few bytes: a 100× corpus's
+    * documents table is 80 MB — a single parquet row group — so the
+    * byte-driven scan planner hands the entire derivation stage ONE task
+    * while the other cores idle, and that lone map task's aggregate hash
+    * spills. This is the shared root cause of the superlinear 10×→100×
+    * growth BENCH_sf10 caught in d17/d26/e03/e07/m04 (31-104× per decade
+    * where the work grows ~10×). A round-robin repartition sized from the
+    * row count puts the dense stage on every core; the shuffle moves only
+    * the raw rows — orders of magnitude cheaper than the dense work that
+    * justifies calling this. Narrow zero-shuffle projections (d09, d16,
+    * d18-d20) deliberately do NOT come through here: adding an exchange to
+    * them costs more than single-core scanning saves, and on real
+    * multi-file corpora the file count already parallelizes them.
+    */
+  def spread(df: DataFrame, rowsPerSlice: Long): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val slices = df.count() / rowsPerSlice + 1   // metadata-cheap on parquet
+    val target = math.max(sc.defaultParallelism.toLong,
+      math.min(slices, 64L * sc.defaultParallelism)).toInt
+    df.repartition(target)
+  }
+
+  /** Dense-operator entries (shingle/gram explodes, sim/minhash, winnow
+    * postings, IVF/LSH scoring, media codecs). Slice sizes target ~1-2 s of
+    * derived work per task at dim-64 / ~500-char rows. */
+  def documentsDense(s: SparkSession, d: String): DataFrame =
+    spread(documents(s, d), 16384L)
+  def embeddingsDense(s: SparkSession, d: String): DataFrame =
+    spread(embeddings(s, d), 4096L)
 }

@@ -25,7 +25,7 @@ object MediaQueries {
 
   private def mediaExport(s: SparkSession, d: String): DataFrame =
     CawdExport.materializeDf(s, d, "media",
-      Media.mediaTable(s, documents(s, d)).toDF())
+      Media.mediaTable(s, documentsDense(s, d)).toDF())
 
   private def features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -326,7 +326,7 @@ object TextQueries {
     // scale) almost never generate candidates — yet the result set is
     // PROVABLY identical to the all-pairs definition the oracle computes.
     "d05_ngram_jaccard_pairs" -> ((s, d) => {
-      val df = documents(s, d)
+      val df = documentsDense(s, d)
       val sh = docShingles(df).cache() // feeds dfreq + the ranked build
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
       // ONE materialization serves every downstream role (prefix candidates,
@@ -381,7 +381,7 @@ object TextQueries {
 
     // MinHash+LSH: banded candidates → exact-Jaccard verification.
     "d06_minhash_lsh_pairs" -> ((s, d) => {
-      val sh = docShingles(documents(s, d)).cache() // bands + both verify sides
+      val sh = docShingles(documentsDense(s, d)).cache() // bands + both verify sides
       val bands = minhashBands(sh)
       val cands = bands.as("a")
         .join(bands.as("b"),
@@ -393,13 +393,13 @@ object TextQueries {
 
     // SimHash 64-bit fingerprints (4 × 16-bit bands, tf-weighted md5 bits).
     "d07_simhash" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
+      documentsDense(s, d).createOrReplaceTempView("documents")
       s.sql(simhashSql(spark = true))
     }),
 
     // SimHash near-dup: band-equality candidates, hamming ≤ radius.
     "d08_simhash_pairs" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
+      documentsDense(s, d).createOrReplaceTempView("documents")
       val sh = s.sql(simhashSql(spark = true))
       sh.createOrReplaceTempView("simhashes")
       s.sql(
@@ -431,7 +431,7 @@ object TextQueries {
     // diameter; at web scale swap in alternating large-star/small-star,
     // same per-iteration plan shape (join + min-aggregate).
     "d10_neardup_clusters" -> ((s, d) => {
-      val df = documents(s, d)
+      val df = documentsDense(s, d)
       val sh = docShingles(df).cache() // bands + both verify sides
       val bands = minhashBands(sh)
       val cands = bands.as("a")
@@ -598,7 +598,7 @@ object TextQueries {
     // IDENTICAL to the exact join and the approximate structure still gets
     // a value-level oracle.
     "d17_bloom_decontamination" -> ((s, d) => {
-      val ex = documents(s, d)
+      val ex = documentsDense(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("source"), explode(expr(shingle5Expr)).as("s5"))
       val bench = ex.filter(col("source") === "src0").select("s5").distinct().cache()
@@ -837,7 +837,7 @@ object TextQueries {
     // Ties break on fp (unique), so the LIMIT selects a deterministic set
     // in both engines.
     "d26_winnow_span_dups" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
+      documentsDense(s, d).createOrReplaceTempView("documents")
       // count(*), NOT count(DISTINCT doc_id): winnow_fp_set is distinct
       // per doc, so (fp, doc_id) rows are already unique and the distinct
       // form only adds an Expand + second 10⁹-row shuffle phase for the

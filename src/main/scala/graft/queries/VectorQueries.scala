@@ -158,7 +158,10 @@ object VectorQueries {
   }
 
   private def registerEmbeddings(s: SparkSession, d: String): Unit =
-    embeddings(s, d).createOrReplaceTempView("embeddings")
+    // dense entry: every query here does per-cell/per-plane kernel math
+    // over the vectors — parallelism must follow rows, not parquet bytes
+    // (Tables.spread scaladoc; the sf10 e03/e07 superlinear finding)
+    embeddingsDense(s, d).createOrReplaceTempView("embeddings")
 
   /** Trained-IVF search SQL, identical semantics in both engines:
     * C = ceil(sqrt(N)) cells seeded by `vec_id % C`, [[IvfIterations]]
