@@ -51,19 +51,34 @@ object Tables {
     * them costs more than single-core scanning saves, and on real
     * multi-file corpora the file count already parallelizes them.
     */
-  def spread(df: DataFrame, rowsPerSlice: Long): DataFrame = {
+  def spread(df: DataFrame, rowsPerSlice: Long, memoKey: String = ""): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    val slices = df.count() / rowsPerSlice + 1   // metadata-cheap on parquet
+    val rows =
+      if (memoKey.isEmpty) df.count()              // metadata-cheap on parquet
+      else rowCountMemo.computeIfAbsent(memoKey, _ => df.count()).longValue()
+    val slices = rows / rowsPerSlice + 1
     val target = math.max(sc.defaultParallelism.toLong,
       math.min(slices, 64L * sc.defaultParallelism)).toInt
     df.repartition(target)
   }
 
+  /** Row counts per corpus file, memoized for the JVM's lifetime: ~30 dense
+    * queries per session each triggered one count job over an IMMUTABLE
+    * parquet file (the driver's testdata never changes under a running
+    * session). Keyed by the file path, so every session sharing the JVM
+    * reuses one count per table. Callers deriving from anything mutable
+    * must use the no-memo form (empty key).
+    */
+  private val rowCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def resetRowCountMemo(): Unit = rowCountMemo.clear()
+
   /** Dense-operator entries (shingle/gram explodes, sim/minhash, winnow
     * postings, IVF/LSH scoring, media codecs). Slice sizes target ~1-2 s of
     * derived work per task at dim-64 / ~500-char rows. */
   def documentsDense(s: SparkSession, d: String): DataFrame =
-    spread(documents(s, d), 16384L)
+    spread(documents(s, d), 16384L, s"$d/documents.parquet")
   def embeddingsDense(s: SparkSession, d: String): DataFrame =
-    spread(embeddings(s, d), 4096L)
+    spread(embeddings(s, d), 4096L, s"$d/embeddings.parquet")
 }

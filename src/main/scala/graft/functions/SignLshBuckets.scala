@@ -21,6 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * widen to double before multiplying. The DuckDB oracle keeps running the
   * relational form — an independent re-derivation of every bucket.
   *
+  * Tolerance note: the two engines sum the same N·d terms in DIFFERENT
+  * orders (fixed index order here, hash-aggregate order there), so a true
+  * sum lying within FP noise of a 6-decimal rounding boundary could in
+  * principle round to different signs. The kernel uses a Kahan-compensated
+  * sum (< 1 ulp from exact for these ≤ 64 bounded terms), so the window is
+  * the oracle's own summation error — ~1e-13 relative, against a 5e-7
+  * boundary granularity; no corpus row has ever landed in it.
+  *
   * What the native version removes is the join that computed the signs:
   * `flat ⋈ planes` materializes N·d·(nb·np) rows through a shuffle and a
   * hash aggregate (683 M rows at sf0.1 once the recall fix grew the e02
@@ -98,9 +106,23 @@ object SignLshBuckets {
     var p = 0
     while (p < planes) {
       val wp = w(p)
+      // Kahan-compensated sum: the oracle's hash aggregate adds the same
+      // terms in ARBITRARY order, so both engines sit within their own FP
+      // error of the exact sum. Compensation pins this side to < 1 ulp of
+      // exact, shrinking the only disagreement window — a true sum within
+      // FP noise of a 6-decimal rounding boundary — to the oracle's error
+      // alone. (64 bounded terms: never observed in practice; see the
+      // class scaladoc tolerance note.)
       var sum = 0.0
+      var comp = 0.0
       var i = 0
-      while (i < dims) { sum += vec.getFloat(i).toDouble * wp(i); i += 1 }
+      while (i < dims) {
+        val y = vec.getFloat(i).toDouble * wp(i) - comp
+        val t = sum + y
+        comp = (t - sum) - y
+        sum = t
+        i += 1
+      }
       // Spark round(x, 6): BigDecimal HALF_UP — same boundary behavior as
       // the SQL `round(sum(x*w), 6) > 0` sign test
       if (java.math.BigDecimal.valueOf(sum)

@@ -330,7 +330,13 @@ object Media {
           val tpe = new String(b, p + 4, 4, "US-ASCII")
           val (hdr, end) = size match {
             case 0 => (8, hi)
-            case 1 => (16, p + be64(b, p + 8).toInt)
+            case 1 =>
+              // largesize is 64-bit; anything past Int.MaxValue cannot be
+              // addressed in a JVM byte array — reject loudly, never truncate
+              val large = be64(b, p + 8)
+              require(large >= 16 && p + large <= Int.MaxValue.toLong,
+                s"mp4: box '$tpe' largesize $large exceeds addressable range")
+              (16, p + large.toInt)
             case s => (8, p + s)
           }
           require(end >= p + hdr && end <= hi, s"mp4: box '$tpe' overruns container")
@@ -535,7 +541,14 @@ object Media {
       rows.filter(_.modality == "video").flatMap { r =>
         val m = VideoCodec.parseMeta(r.content)
         (1 to m.nFrames by stride).iterator.map { i =>
-          val off = m.sampleOffsets(i - 1).toInt
+          // stco offsets are unsigned 32-bit (≤ 4 GiB) and arrive as Long;
+          // a JVM byte array tops out at Int.MaxValue, so bound-check the
+          // full 64-bit range BEFORE narrowing rather than truncating
+          val offL = m.sampleOffsets(i - 1)
+          require(offL + m.sampleSizes(i - 1) <= r.content.length,
+            s"mp4: sample $i range [$offL, +${m.sampleSizes(i - 1)}) " +
+              s"overruns ${r.content.length}-byte blob")
+          val off = offL.toInt // safe: bounded by content.length above
           val frame = java.util.Arrays.copyOfRange(
             r.content, off, off + m.sampleSizes(i - 1))
           val tsMs = m.sampleTimes(i - 1) * 1000 / m.mediaTimescale

@@ -57,13 +57,12 @@ object ConnectedComponents {
     else starLabels(s, edges, n)
   }
 
-  /** Bounded driver-side path: collect the (small) edge list, run
-    * path-compressed union-find with min-id roots, parallelize the labels
-    * back out.
+  /** Path-compressed union-find with min-id roots (attach larger root
+    * under smaller ⇒ root == component minimum). Used by the driver path
+    * over the whole subgraph and by [[preContract]] per partition.
     */
-  private def driverUnionFind(s: SparkSession, edges: DataFrame): DataFrame = {
-    import s.implicits._
-    val parent = new java.util.HashMap[Long, Long]()
+  private final class MinUnionFind extends Serializable {
+    private val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
@@ -73,16 +72,56 @@ object ConnectedComponents {
       }
       r
     }
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
-    es.foreach { case (a, b) =>
+    def union(a: Long, b: Long): Unit = {
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { // attach larger root under smaller ⇒ root == min id
+      if (ra != rb) {
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
+  }
+
+  /** Bounded driver-side path: collect the (small) edge list, run
+    * path-compressed union-find with min-id roots, parallelize the labels
+    * back out.
+    */
+  private def driverUnionFind(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val uf = new MinUnionFind
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    es.foreach { case (a, b) => uf.union(a, b) }
     es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct
-      .map(x => (x, find(x))).toDF("doc_id", "label")
+      .map(x => (x, uf.find(x))).toDF("doc_id", "label")
+  }
+
+  /** Partition-local pre-contraction: a map-side union-find WITHIN each
+    * partition replaces that partition's edges by (node → local-min) star
+    * edges before the first distributed round. Zero shuffle, one pass; any
+    * chain that happens to be co-located collapses to depth 1 for free, so
+    * the star loop starts from a strictly shallower graph — and every round
+    * it saves is a full subgraph shuffle plus a driver round-trip at scale.
+    * Global connectivity is preserved exactly: within a partition all
+    * reachable nodes share one local root, and a node split across
+    * partitions re-glues its contracted components because it keeps a star
+    * edge in each. Output stays in canonical big→small form (the local
+    * root is the partition-component minimum, so src > dst always).
+    */
+  private def preContract(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val es = it.toArray
+        val uf = new MinUnionFind
+        es.foreach { case (a, b) => uf.union(a, b) }
+        val seen = new java.util.HashSet[Long]()
+        es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+          .filter(seen.add)
+          .map(x => (x, uf.find(x)))
+          .filter { case (x, r) => x != r }
+      }
+      .toDF("src", "dst")
   }
 
   /** Distributed path: large-star/small-star to the fixpoint where every
@@ -117,48 +156,57 @@ object ConnectedComponents {
         .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
     }
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions",
+    // The loop wants AQE off (per-stage re-planning turns every round into
+    // several sequential driver round-trips) and subgraph-sized shuffle
+    // partitions. Setting those on the caller's session would RACE any
+    // concurrent query sharing it, so the loop runs on a cloned child
+    // session: same SparkContext (same executors, same checkpoint blocks),
+    // private SQLConf. DataFrames cross the boundary via their
+    // checkpointed RDDs.
+    val loop = s.newSession()
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.shuffle.partitions",
       Math.min(200L, Math.max(8L, n / 250000L)).toString)
-    var cur = edges.localCheckpoint(true)
-    try {
-      // per-round fixpoint probe: ONE tiny aggregate (count + src/dst
-      // sums as DECIMAL(38,0) — BIGINT sums of large doc_ids overflow).
-      // Metric equality is NECESSARY for set equality, so the exact
-      // except() confirmation only runs when the metrics stall —
-      // normally exactly once, on the final round.
-      def metrics(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
-        val z = lit(0).cast("decimal(38,0)")
-        val r = e.agg(count(lit(1)),
-          coalesce(sum(col("src").cast("decimal(38,0)")), z),
-          coalesce(sum(col("dst").cast("decimal(38,0)")), z)).head()
-        (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
-      }
-      var curM = metrics(cur)
-      var converged = curM._1 == 0L
-      var rounds = 0
-      while (!converged) {
-        rounds += 1
-        // O(log² n) is the proven bound; 64 rounds covers any conceivable
-        // component — exceeding it means a rewiring bug, fail loudly
-        require(rounds <= 64, "large-star/small-star failed to converge")
-        val next = smallStar(largeStar(cur)).localCheckpoint(true)
-        val nextM = metrics(next)
-        converged = nextM == curM && next.except(cur).isEmpty
-        curM = nextM
-        cur = next
-      }
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    def inLoop(e: DataFrame): DataFrame = loop.createDataFrame(e.rdd, e.schema)
+    // map-side pre-contraction: start the loop from locally-collapsed stars
+    var cur = inLoop(preContract(edges).localCheckpoint(true))
+    // per-round fixpoint probe: ONE tiny aggregate (count + src/dst
+    // sums as DECIMAL(38,0) — BIGINT sums of large doc_ids overflow).
+    // Metric equality is NECESSARY for set equality, so the exact
+    // except() confirmation only runs when the metrics stall —
+    // normally exactly once, on the final round.
+    def metrics(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val z = lit(0).cast("decimal(38,0)")
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(col("src").cast("decimal(38,0)")), z),
+        coalesce(sum(col("dst").cast("decimal(38,0)")), z)).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var curM = metrics(cur)
+    var converged = curM._1 == 0L
+    var rounds = 0
+    // Kiveris et al. prove O(log² n) rounds; cap at that bound (with a
+    // generous floor) so a graph big enough to legitimately need >64
+    // rounds isn't killed, while a rewiring bug still fails loudly.
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(Math.max(2L, n))
+    val maxRounds = Math.max(64L, log2n.toLong * log2n)
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"large-star/small-star failed to converge in $maxRounds rounds")
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextM = metrics(next)
+      converged = nextM == curM && next.except(cur).isEmpty
+      curM = nextM
+      cur = next
     }
     // at the fixpoint every edge is (member, component-root); roots keep
-    // themselves (they appear only on the dst side)
+    // themselves (they appear only on the dst side). Hand the result back
+    // to the CALLER's session so downstream plans run under its conf.
+    val fixed = s.createDataFrame(cur.rdd, cur.schema)
     val nodes = symmetrize(edges).select(col("src").as("doc_id")).distinct()
     nodes
-      .join(cur.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("l")),
+      .join(fixed.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("l")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("label"))
   }

@@ -27,10 +27,19 @@ object MediaQueries {
     CawdExport.materializeDf(s, d, "media",
       Media.mediaTable(s, documentsDense(s, d)).toDF())
 
-  private def features(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Media.extractFeatures(mediaExport(s, d).as[Media.MediaRow]).toDF()
-  }
+  /** Decoded features, materialized once per session through the same
+    * CawdExport memo the blob table uses: m01/m02/m03 all consume this
+    * table, so the full-corpus decode (the dominant media cost — PNG/WAV/MP4
+    * parse over every blob) is paid exactly once instead of once per query.
+    * At 100 TB a decode pass IS the job; three of them is a 3× bug.
+    * Features are a pure function of the blobs, so the cache cannot change
+    * results; Bench.resetMemo() still forces the timed pass to re-pay it.
+    */
+  private def features(s: SparkSession, d: String): DataFrame =
+    CawdExport.materializeDf(s, d, "media_features", {
+      import s.implicits._
+      Media.extractFeatures(mediaExport(s, d).as[Media.MediaRow]).toDF()
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest + per-partition decode (REAL PNG decode for images);
@@ -47,8 +56,7 @@ object MediaQueries {
     // over the REAL decoded dims.
     "m02_media_resize" -> ((s, d) => {
       import s.implicits._
-      Media.resize(
-        Media.extractFeatures(mediaExport(s, d).as[Media.MediaRow]), 128)
+      Media.resize(features(s, d).as[Media.MediaFeatures], 128)
     }),
 
     // Frame sampling: every 2nd frame of each video → an image-like

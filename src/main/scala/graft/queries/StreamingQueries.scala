@@ -128,18 +128,37 @@ object StreamingQueries {
     val prevCkpt = s.conf.getOption("spark.sql.streaming.checkpointLocation")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+    // non-empty-source guard via listener, NOT recentProgress: the progress
+    // ring buffer holds only the last ~100 entries, so a drain with many
+    // trailing empty micro-batches could roll every nonzero entry off and
+    // spuriously fail a healthy run. The listener sees EVERY batch.
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val drained = new java.util.concurrent.CountDownLatch(1)
+    @volatile var qid: UUID = null
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name) inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (qid != null && e.id == qid) drained.countDown()
+    }
+    s.streams.addListener(listener)
     try {
       val query = start(name)
+      qid = query.id // set long before termination can post (drain runs async)
       query.awaitTermination()
-      // non-empty-source guard: a wrong data layout (e.g. a directory where
-      // the glob expects a file) drains ZERO input rows and would otherwise
-      // "pass" vacuously — the failure mode the sf1 scale run hit. An
-      // AvailableNow drain of a real corpus always reads something; fail
-      // loudly if nothing matched.
-      val inputRows = query.recentProgress.map(_.numInputRows).sum
-      if (inputRows == 0L) throw new IllegalStateException(
+      // listener bus delivery is async; events are FIFO, so once the
+      // terminated event lands every progress event has been counted
+      drained.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // a wrong data layout (e.g. a directory where the glob expects a
+      // file) drains ZERO input rows and would otherwise "pass" vacuously —
+      // the failure mode the sf1 scale run hit. An AvailableNow drain of a
+      // real corpus always reads something; fail loudly if nothing matched.
+      if (inputRows.get() == 0L) throw new IllegalStateException(
         s"$prefix: streaming source matched no input rows — wrong data layout?")
     } finally {
+      s.streams.removeListener(listener)
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevCkpt match {
         case Some(v) => s.conf.set("spark.sql.streaming.checkpointLocation", v)
