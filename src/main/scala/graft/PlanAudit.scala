@@ -9,42 +9,66 @@ package graft
   * are the scale paths). SortMergeJoin is not a red flag: it is the right
   * physical join for large-large equi-joins (shingle and band joins).
   *
+  * Streaming queries (s01-s07) return only a batch view of a drained
+  * stream, so their real work — per-micro-batch IncrementalExecutions and
+  * foreachBatch interiors — is recorded through [[StreamingPlanCapture]]
+  * (enabled here, off everywhere else) and folded into the same checks.
+  *
   * Run: `sbt "runMain graft.PlanAudit [sfDir]"`.
   */
 object PlanAudit {
+
+  /** Join red flags + top-level ReadSchema field counts of one plan. */
+  private def inspect(plan: String): (Seq[String], Seq[Int]) = {
+    val flags = Seq(
+      "NLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+      "CARTESIAN" -> plan.contains("CartesianProduct"),
+      "SMJ" -> plan.contains("SortMergeJoin")
+    ).collect { case (f, true) => f }
+    // count TOP-LEVEL fields of each ReadSchema (nested array<>/struct<>
+    // types must not truncate the match or inflate the count)
+    val scans = "ReadSchema: struct<(.*)>".r.findAllMatchIn(plan).map { m =>
+      var depth = 0
+      var fields = if (m.group(1).isEmpty) 0 else 1
+      m.group(1).foreach {
+        case '<'               => depth += 1
+        case '>'               => depth -= 1
+        case ',' if depth == 0 => fields += 1
+        case _                 =>
+      }
+      fields
+    }.toSeq
+    (flags, scans)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.get("plan-audit")
     // default 100-char truncation would cut ReadSchema mid-field and hide
     // exactly the pruning regressions this audit exists to catch
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    StreamingPlanCapture.enabled = true
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
+        StreamingPlanCapture.reset()
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        val flags = Seq(
-          "NLJ" -> plan.contains("BroadcastNestedLoopJoin"),
-          "CARTESIAN" -> plan.contains("CartesianProduct"),
-          "SMJ" -> plan.contains("SortMergeJoin")
-        ).collect { case (f, true) => f }
-        // count TOP-LEVEL fields of each ReadSchema (nested array<>/struct<>
-        // types must not truncate the match or inflate the count)
-        val scans = "ReadSchema: struct<(.*)>".r.findAllMatchIn(plan).map { m =>
-          var depth = 0
-          var fields = if (m.group(1).isEmpty) 0 else 1
-          m.group(1).foreach {
-            case '<'              => depth += 1
-            case '>'              => depth -= 1
-            case ',' if depth == 0 => fields += 1
-            case _                =>
-          }
-          fields
-        }.toSeq
+        // every micro-batch/foreachBatch plan recorded while fn ran belongs
+        // to this query; tag each so the audit line says where flags live
+        val streamPlans = StreamingPlanCapture.all
+        val allPlans = ("result", plan) +: streamPlans
+        val perPlan = allPlans.map { case (tag, p) => (tag, inspect(p)) }
+        val flags = perPlan.flatMap(_._2._1).distinct
+        val scans = perPlan.flatMap(_._2._2)
         val unexpected = (flags.contains("CARTESIAN")
           || (flags.contains("NLJ") && name != "e01_cosine_topk"))
         if (unexpected) bad += 1
+        val streamNote =
+          if (streamPlans.isEmpty) ""
+          else s" streamPlans=${streamPlans.map(_._1).mkString("+")}"
         println(s"AUDIT $name flags=${flags.mkString("+")}" +
-          s" scanCols=${scans.mkString(",")}${if (unexpected) "  <-- UNEXPECTED" else ""}")
+          s" scanCols=${scans.mkString(",")}$streamNote" +
+          s"${if (unexpected) "  <-- UNEXPECTED" else ""}")
       } catch {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(100)}")
       }

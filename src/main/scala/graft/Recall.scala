@@ -20,14 +20,15 @@ import org.apache.spark.sql.SparkSession
   * hardest regime for ANN, where recall is bought only with probe volume.
   * The first run of this gate measured e02 at 0.04 (single AND-band LSH)
   * and IVF at 0.24 (nprobe=2); the fixes it forced were OR-construction
-  * with np-adaptive band growth for e02 and nprobe=8 for e03/e07.
-  * Measured after, across sf0.001/sf0.01/sf0.1 (RECALL.json): e02
-  * 0.82-0.90, e03 0.52-0.70, e07 0.50-0.68. IVF's slow decay with scale
-  * is the known fixed-nprobe behavior on an isotropic corpus (neighbors
-  * spread over C = √N cells); e02 holds flat because its band count
-  * grows with np. [[Floors]] sit under the measured range with slack for
-  * corpus-shape variance and far above the degenerate regime this gate
-  * exists to catch — a collapsed IVF scores ≈ nprobe/C ≈ 0.1.
+  * with np-adaptive band growth for e02 and, in round 6, the
+  * npr = max(12, ceil(1.3·C^0.6)) probe schedule for e03/e07 (a fixed
+  * nprobe=8 decayed 0.70 → 0.52 → 0.35 across three decades; the C^0.6
+  * schedule holds measured recall ≈ 0.62-0.65 at sf0.1 AND the 10×
+  * scale-up — see VectorQueries.IvfProbes for the sweep data). e02 holds
+  * flat because its band count grows with np. [[Floors]] sit under the
+  * measured range with slack for corpus-shape variance and far above the
+  * degenerate regime this gate exists to catch — a collapsed IVF scores
+  * ≈ npr/C ≈ 0.1.
   *
   * Usage: runMain graft.Recall [sfDir] [outFile]
   */
@@ -36,8 +37,8 @@ object Recall {
   /** Committed per-index recall floors. */
   val Floors: Map[String, Double] = Map(
     "e02_lsh_topk" -> 0.75,
-    "e03_ivf_topk" -> 0.45,
-    "e07_ivf_topk_sampled" -> 0.45)
+    "e03_ivf_topk" -> 0.55,
+    "e07_ivf_topk_sampled" -> 0.55)
 
   /** recall@K per approximate index vs the cached exact baseline. */
   def measure(spark: SparkSession, sfDir: String): Map[String, Double] = {

@@ -13,15 +13,25 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS): with
-    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as LONG nanos,
-    * which we truncate to microsecond timestamps (matching DuckDB's value
-    * to the microsecond; the corpus generator emits whole-second stamps).
+  /** Normalize `events.ts` to session-zoned TIMESTAMP whatever physical
+    * type the corpus generator used that round:
+    *   - TIMESTAMP(NANOS) surfaces as LONG nanos (via
+    *     `spark.sql.legacy.parquet.nanosAsLong`) → truncate to micros;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+    *     TIMESTAMP_NTZ → cast (session tz is pinned UTC, so the wall-clock
+    *     values map 1:1 to the instants DuckDB's naive `epoch()` sees).
+    * Downstream needs the zoned type: streaming watermarks reject NTZ
+    * ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), and `unix_timestamp`/
+    * `unix_micros` arithmetic assumes it.
     */
   private[graft] def fixEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")

@@ -244,6 +244,11 @@ object StreamingEngine {
       store = readStore(spark, storeDir, beforeBatch = Some(batchId)))
       .withColumn("file", regexp_replace(col("file"), ".*/", ""))
       .cache()
+    // audit hook (no-op unless PlanAudit enabled it): the probe/dedup plan
+    // that actually runs inside this micro-batch — the foreachBatch
+    // interior the audit cannot reach from the outer streaming query
+    graft.StreamingPlanCapture.record("s01-batch",
+      status.queryExecution.executedPlan.toString)
     try {
       // insert-on-miss: this batch's first occurrences, keyed to its own
       // partition (overwrite = retry-safe), bucketed by signature

@@ -148,6 +148,13 @@ object StreamingQueries {
       val query = start(name)
       qid = query.id // set long before termination can post (drain runs async)
       query.awaitTermination()
+      // audit hook: the drained stream's last micro-batch physical plan —
+      // the plan PlanAudit cannot see from the returned batch view
+      query match {
+        case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+          graft.StreamingPlanCapture.record(prefix, w.explainInternal(false))
+        case _ => ()
+      }
       // listener bus delivery is async; events are FIFO, so once the
       // terminated event lands every progress event has been counted
       drained.await(30, java.util.concurrent.TimeUnit.SECONDS)
