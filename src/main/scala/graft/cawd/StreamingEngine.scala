@@ -50,6 +50,11 @@ object StreamingEngine {
     */
   val NumSigBuckets = 256
 
+  /** Batches up to this many files rank with a single window job; larger
+    * backfills use the distributed sort (see [[processBatch]]).
+    */
+  val MaxWindowRankFiles: Long = 1L << 20
+
   /** Deterministic signature → bucket assignment, usable on both the write
     * path and the probe's pruning filter.
     */
@@ -213,22 +218,41 @@ object StreamingEngine {
                                  batchId: Long, storeDir: String,
                                  statsDir: String, fmt: CawdEngine.Format,
                                  exportDir: Option[String] = None): Unit = {
-    if (batch.isEmpty) return
     import spark.implicits._
     // ranks are per-batch; earlier batches' chunks are already in the store,
     // so cross-batch ordering is enforced by store membership, not rank.
-    // Global ordinals WITHOUT an unpartitioned window (which would sort a
-    // 10⁷-file backfill batch in one task): range-partitioned parallel sort,
-    // then zipWithIndex's per-partition count pass stitches the offsets —
-    // both phases distribute, and the paths never collect() onto the driver.
-    val ranked = batch.select(col("path")).as[String].rdd
-      .map(_.replaceFirst("^file:", ""))
-      .sortBy(identity)
-      .zipWithIndex()
-      .map { case (p, i) => (p, i.toInt) }
-      .toDF("path", "fileRank")
-      .as[(String, Int)]
-      .repartition(spark.sparkContext.defaultParallelism)
+    // Job-count discipline: a micro-batch pays one driver round-trip per
+    // job, and at streaming cadence those round-trips ARE the latency
+    // floor (s01 profiling: ~20 sub-0.3 s jobs per wave, no single hot
+    // one). The count below both replaces a separate isEmpty action and
+    // picks the ranking strategy:
+    //   - typical batches (≤ 2²⁰ files) rank with ONE unpartitioned-window
+    //     job — a ≤ ~100 MB single-task sort, the same bounded-driver
+    //     budget as a broadcast side;
+    //   - larger backfills keep the fully distributed path (range-
+    //     partitioned parallel sort + zipWithIndex offset stitch; no
+    //     driver collect at any size).
+    val nFiles = batch.count()
+    if (nFiles == 0) return
+    val ranked0 =
+      if (nFiles <= MaxWindowRankFiles)
+        batch.select(regexp_replace(col("path"), "^file:", "").as("path"))
+          .withColumn("fileRank",
+            (org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("path"))) - 1))
+          .as[(String, Int)]
+      else
+        batch.select(col("path")).as[String].rdd
+          .map(_.replaceFirst("^file:", ""))
+          .sortBy(identity)
+          .zipWithIndex()
+          .map { case (p, i) => (p, i.toInt) }
+          .toDF("path", "fileRank")
+          .as[(String, Int)]
+    // chunking parallelism follows the FILE count (a chunker walks one
+    // file sequentially; tasks beyond nFiles only add launch overhead)
+    val ranked = ranked0.repartition(
+      math.min(spark.sparkContext.defaultParallelism.toLong, nFiles).toInt)
     // ORC streams dedup with the NAIVE vocabulary, so chunk in Naive mode
     // too — StripeColumn's linked chunks (parentSeq != -1) would silently
     // fall out of flatStatus's top-level filter and the exported table
@@ -250,6 +274,10 @@ object StreamingEngine {
     graft.StreamingPlanCapture.record("s01-batch",
       status.queryExecution.executedPlan.toString)
     try {
+      // Sequential sinks, deliberately: a concurrent-Futures variant was
+      // measured SLOWER (6.2 s → 11.6 s for the two-wave run) — three
+      // simultaneous jobs racing the cold `status` cache serialize on its
+      // per-partition locks and thrash the scheduler.
       // insert-on-miss: this batch's first occurrences, keyed to its own
       // partition (overwrite = retry-safe), bucketed by signature
       writeStorePartition(

@@ -172,23 +172,28 @@ object VectorQueries {
     // side a single map-side pass: scan → kernel → explode →
     // broadcast-hash probe, no exchange.
     val hint = if (spark) "/*+ BROADCAST(q) */ " else ""
-    val flip =
-      if (spark) "bucket ^ shiftleft(CAST(1 AS BIGINT), k)"
-      else "xor(bucket, (1::BIGINT << k))"
-    val ks =
-      if (spark) "SELECT k FROM nparams LATERAL VIEW explode(sequence(0, np - 1)) t AS k"
-      else "SELECT k FROM nparams, UNNEST(range(0, np)) AS t(k)"
+    // per-row flip generation: np travels as a COLUMN of qprobe so the
+    // Spark side can LATERAL VIEW explode a per-row sequence (a cross join
+    // against an np-row relation planned as BroadcastNestedLoopJoin and
+    // tripped the PlanAudit NLJ flag — same work, worse plan shape)
+    val flips =
+      if (spark)
+        s"""SELECT vec_id, band, bucket ^ shiftleft(CAST(1 AS BIGINT), k) AS bucket
+           |  FROM qprobe LATERAL VIEW explode(sequence(0, np - 1)) t AS k""".stripMargin
+      else
+        s"""SELECT vec_id, band, xor(bucket, (1::BIGINT << k)) AS bucket
+           |  FROM qprobe, UNNEST(range(0, np)) AS t(k)""".stripMargin
     s"""WITH $QmodCte,
        |${bandedCtes(spark,
           s"least($TopKBandsMax, $TopKBands + 8 * greatest(0, np - $NdPlanesPerBand))",
           TopKBandsMax, NdPlanesPerBand, "q2:")},
        |qprobe AS (
-       |  SELECT vec_id, band, bucket FROM bandbuckets WHERE $ProbeFilter),
-       |ks AS ($ks),
+       |  SELECT vec_id, band, bucket, (SELECT np FROM nparams) AS np
+       |  FROM bandbuckets WHERE $ProbeFilter),
        |qmulti AS (
        |  SELECT vec_id, band, bucket FROM qprobe
        |  UNION ALL
-       |  SELECT vec_id, band, $flip AS bucket FROM qprobe CROSS JOIN ks),
+       |  $flips),
        |cand AS (
        |  SELECT ${hint}DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
        |  FROM qmulti q JOIN bandbuckets n
