@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Blob-aware scan batching: the vectorized parquet reader sizes
+      // batches by ROW COUNT (default 4096), so a binary media column at
+      // ~13 kB/row reserves ~50 MB contiguous per batch per task — 32
+      // concurrent tasks OOM'd an 8 GB driver reading the 100× media
+      // export. 1024 rows keeps blob batches ~13 MB while costing narrow
+      // scans nothing measurable (batch overhead amortizes by ~100 rows).
+      // An engine whose tables carry opaque media blobs needs row-batch
+      // sizing that survives the widest row, not the average one.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
