@@ -20,10 +20,28 @@ object GraftSession {
       .appName(appName)
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
+      // Core-count shuffle partitions, deliberately NOT the AQE
+      // "over-partition and coalesce" posture: measured at sf0.1, 4×cpus
+      // + coalescing was 54% slower overall — AQE coalesces by BYTES
+      // (64 MB advisory target), so the CPU-dense small-byte shuffles this
+      // engine is full of (IVF training rounds, LSH bands, streaming
+      // micro-batches) collapse to 1-2 partitions and single-thread work
+      // that fixed cores-sized partitions spread across every core. The
+      // same parallelism-follows-rows-not-bytes rule as Tables.spread.
+      // The cost is some spill headroom on truly large shuffles at 100×
+      // local scale (q07's window sort) — the right cluster-side fix is
+      // sizing shuffle.partitions per job, not a session-wide constant.
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 32 MB scan splits (default 128 MB): a CPU-dense derivation over a
+      // compressed single-file corpus gets 4× the tasks — the 100× corpus
+      // documents file is ~800 MB, and per-row regex/winnow passes
+      // (d09/d19/d20) ran on ~6 of 32 cores, growing 12-17× per 10× data.
+      // I/O-bound scans lose nothing measurable at this split size, and
+      // tiny files still yield one task.
+      .config("spark.sql.files.maxPartitionBytes", 32L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Blob-aware scan batching: the vectorized parquet reader sizes
