@@ -21,10 +21,12 @@ import org.apache.spark.sql.SparkSession
   * The first run of this gate measured e02 at 0.04 (single AND-band LSH)
   * and IVF at 0.24 (nprobe=2); the fixes it forced were OR-construction
   * with np-adaptive band growth for e02 and, in round 6, the
-  * npr = max(12, ceil(1.3·C^0.6)) probe schedule for e03/e07 (a fixed
-  * nprobe=8 decayed 0.70 → 0.52 → 0.35 across three decades; the C^0.6
-  * schedule holds measured recall ≈ 0.62-0.65 at sf0.1 AND the 10×
-  * scale-up — see VectorQueries.IvfProbes for the sweep data). e02 holds
+  * npr = max(12, ceil(1.3·C^0.65)) probe schedule for e03/e07 (a fixed
+  * nprobe=8 decayed 0.70 → 0.52 → 0.35 across three decades; the C^0.65
+  * schedule holds measured recall ≈ 0.6-0.7 at sf0.1, the 10× AND the
+  * 100× scale-ups — see VectorQueries.IvfProbes for the sweep data, and
+  * note the 100× gate is what pushed the exponent from the fitted 0.6,
+  * which measured 0.543 there, to 0.65). e02 holds
   * flat because its band count grows with np. [[Floors]] sit under the
   * measured range with slack for corpus-shape variance and far above the
   * degenerate regime this gate exists to catch — a collapsed IVF scores

@@ -27,19 +27,23 @@ object VectorQueries {
   val TopK = 5
   val TopKBands = 16       // e02 OR-construction: base band-table count ...
   val TopKBandsMax = 64    // ... growing with np to hold recall (bandedCtes)
-  /** IVF probe floor: nprobe = max(this, ceil(1.3·C^0.6)) with
+  /** IVF probe floor: nprobe = max(this, ceil(1.3·C^0.65)) with
     * C = ceil(√N) cells. A FIXED nprobe decays with scale on an isotropic
     * corpus — a query's true neighbors spread over more cells as C grows
     * with N, so covering a constant 8 of C cells probed a shrinking
     * fraction (measured recall@5 e03 0.70 → 0.52 → 0.35 over three
-    * decades). The exponent comes from a measured two-decade sweep
-    * (sf0.1 C=45 and 10× C=142, npr ∈ {8..32}): equal recall tracks
-    * npr ∝ C^0.6 almost exactly (12 @ C=45 ≈ 24 @ C=142 ≈ 0.62), i.e.
-    * the probed FRACTION may shrink as C^-0.4 because cell ranking gets
-    * more informative as cells shrink. Probe work per query is then
-    * npr·N/C ≈ 1.3·N^0.8 — sublinear, while holding recall ≈ 0.62-0.65
-    * at every measured scale (vs brute force's N). Both engines derive
-    * npr from the same count, so the trained index stays value-verified.
+    * decades). The schedule comes from a measured npr sweep at sf0.1
+    * (C=45) and the 10× corpus (C=142), npr ∈ {8..32}: equal recall
+    * tracks npr ∝ ~C^0.6 (12 @ C=45 ≈ 24 @ C=142 ≈ 0.62) — i.e. the
+    * probed FRACTION shrinks as cell ranking gets more informative with
+    * smaller cells. The committed exponent is 0.65, one notch above the
+    * fitted slope: the 100× gate measured the 0.6-exponent schedule at
+    * 0.543 (a hair under the 0.55 floor) at the THIRD decade, so the
+    * schedule needs margin against the fit's own extrapolation error.
+    * npr = 16/33/70 per decade holds measured recall ≈ 0.6-0.7
+    * everywhere; probe work per query is npr·N/C ≈ 1.3·N^0.825 —
+    * sublinear (vs brute force's N). Both engines derive npr from the
+    * same count, so the trained index stays value-verified.
     */
   val IvfProbes = 12
   val IvfIterations = 2    // k-medians refinement rounds
@@ -221,7 +225,7 @@ object VectorQueries {
     * `round(..., 6)` — medians sort, so they are order-independent and
     * bit-identical across engines, which sample means are not), cosine
     * reassignment each round, then adaptive max([[IvfProbes]],
-    * ceil(1.3·C^0.6))-cell probing and exact rerank. Every join is an
+    * ceil(1.3·C^0.65))-cell probing and exact rerank. Every join is an
     * equi-join on `i` (dimension) or `cell`.
     */
   /** Shared CTE prefix: trained k-medians cell assignment (see [[ivfSql]]
@@ -302,7 +306,7 @@ object VectorQueries {
          |    FROM sfull) t WHERE r = 1),""".stripMargin
     val ctes =
       s"""params AS (
-         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.6)) AS INT)) AS npr
+         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65)) AS INT)) AS npr
          |  FROM (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings) pt),
          |flat AS (
          |  SELECT vec_id, i, CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) AS x
@@ -356,7 +360,7 @@ object VectorQueries {
          |    FROM sfull) t WHERE r = 1),""".stripMargin
     val ctes =
       s"""params AS (
-         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.6)) AS INT)) AS npr
+         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65)) AS INT)) AS npr
          |  FROM (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings) pt),
          |flat AS (
          |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
