@@ -208,6 +208,51 @@ object StreamingEngine {
       .start()
   }
 
+  /** UTF-8 byte (unsigned lexicographic) ordering — identical to Spark's
+    * UTF8String binary collation, so BOTH rank branches below agree with
+    * each other and with what the old single-window-job branch produced.
+    * (Java `String.compareTo` compares UTF-16 units, which diverges from
+    * byte order for paths mixing U+E000–U+FFFF with supplementary chars.)
+    */
+  private[cawd] object Utf8Order extends Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** Latency-tuned child session for small micro-batches, memoized per
+    * parent (same SparkContext/executors/cache, private SQLConf — the same
+    * isolation pattern as ConnectedComponents' loop session). AQE is OFF
+    * here deliberately: AQE materializes every query stage as its own job,
+    * and at streaming cadence the per-job driver round-trip IS the latency
+    * floor (s01 profiling: ~20 sub-0.3 s stage-jobs per wave, no hot one).
+    * With AQE off each driver action is ONE job; skew/coalescing don't
+    * matter on a batch this size. Shuffle partitions follow the file count
+    * (rows-not-bytes rule) so tiny batches don't launch 32-task stages.
+    */
+  private val latencySessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def latencySession(spark: SparkSession, nFiles: Int): SparkSession = {
+    val s = latencySessions.synchronized {
+      Option(latencySessions.get(spark)).getOrElse {
+        val c = spark.newSession()
+        latencySessions.put(spark, c)
+        c
+      }
+    }
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(spark.sparkContext.defaultParallelism, math.max(2, nFiles)).toString)
+    s
+  }
+
   /** One micro-batch: rank new files after everything already seen, chunk,
     * probe the earlier-batch store, overwrite this batch's store/stats
     * (/export) partitions. Idempotent under retries: the probe set never
@@ -221,38 +266,36 @@ object StreamingEngine {
     import spark.implicits._
     // ranks are per-batch; earlier batches' chunks are already in the store,
     // so cross-batch ordering is enforced by store membership, not rank.
-    // Job-count discipline: a micro-batch pays one driver round-trip per
-    // job, and at streaming cadence those round-trips ARE the latency
-    // floor (s01 profiling: ~20 sub-0.3 s jobs per wave, no single hot
-    // one). The count below both replaces a separate isEmpty action and
-    // picks the ranking strategy:
-    //   - typical batches (≤ 2²⁰ files) rank with ONE unpartitioned-window
-    //     job — a ≤ ~100 MB single-task sort, the same bounded-driver
-    //     budget as a broadcast side;
-    //   - larger backfills keep the fully distributed path (range-
-    //     partitioned parallel sort + zipWithIndex offset stitch; no
-    //     driver collect at any size).
-    val nFiles = batch.count()
-    if (nFiles == 0) return
-    val ranked0 =
-      if (nFiles <= MaxWindowRankFiles)
-        batch.select(regexp_replace(col("path"), "^file:", "").as("path"))
-          .withColumn("fileRank",
-            (org.apache.spark.sql.functions.row_number().over(
-              org.apache.spark.sql.expressions.Window.orderBy(col("path"))) - 1))
-          .as[(String, Int)]
-      else
+    // Rank strategy = ONE bounded collect (replaces the old count action +
+    // window-rank job): paths up to the 2²⁰ cap land on the driver — the
+    // same ≤ ~100 MB budget the old single-task window sort already spent —
+    // get ranked in UTF-8 byte order, and re-parallelize without a shuffle.
+    // Larger backfills fall back to the fully distributed range-partitioned
+    // sort (no driver collect beyond the capped probe, no exact count —
+    // the cap probe IS the strategy pick).
+    val headPaths = batch.select(col("path"))
+      .limit(MaxWindowRankFiles.toInt + 1)
+      .collect().map(_.getString(0).replaceFirst("^file:", ""))
+    if (headPaths.isEmpty) return
+    val small = headPaths.length <= MaxWindowRankFiles
+    val sess = if (small) latencySession(spark, headPaths.length) else spark
+    val ranked: org.apache.spark.sql.Dataset[(String, Int)] =
+      if (small) {
+        val pairs = headPaths.sortBy(_.getBytes("UTF-8"))(Utf8Order).zipWithIndex
+        // chunking parallelism follows the FILE count (a chunker walks one
+        // file sequentially; tasks beyond nFiles only add launch overhead)
+        val slices = math.min(spark.sparkContext.defaultParallelism, pairs.length)
+        sess.createDataset(sess.sparkContext.parallelize(pairs.toSeq, slices))(
+          org.apache.spark.sql.Encoders.product[(String, Int)])
+      } else
         batch.select(col("path")).as[String].rdd
           .map(_.replaceFirst("^file:", ""))
-          .sortBy(identity)
+          .sortBy(_.getBytes("UTF-8"))(Utf8Order, scala.reflect.classTag[Array[Byte]])
           .zipWithIndex()
           .map { case (p, i) => (p, i.toInt) }
+          .repartition(spark.sparkContext.defaultParallelism)
           .toDF("path", "fileRank")
           .as[(String, Int)]
-    // chunking parallelism follows the FILE count (a chunker walks one
-    // file sequentially; tasks beyond nFiles only add launch overhead)
-    val ranked = ranked0.repartition(
-      math.min(spark.sparkContext.defaultParallelism.toLong, nFiles).toInt)
     // ORC streams dedup with the NAIVE vocabulary, so chunk in Naive mode
     // too — StripeColumn's linked chunks (parentSeq != -1) would silently
     // fall out of flatStatus's top-level filter and the exported table
@@ -265,7 +308,7 @@ object StreamingEngine {
     // oracle re-deriving it) doesn't depend on temp-dir paths
     val chunkDf = chunks.toDF().cache() // ours to release; flatStatus reuses it
     val status = Dedup.flatStatus(chunkDf, dedupable,
-      store = readStore(spark, storeDir, beforeBatch = Some(batchId)))
+      store = readStore(sess, storeDir, beforeBatch = Some(batchId)))
       .withColumn("file", regexp_replace(col("file"), ".*/", ""))
       .cache()
     // audit hook (no-op unless PlanAudit enabled it): the probe/dedup plan
