@@ -43,7 +43,11 @@ object VectorQueries {
     * npr = 16/33/70 per decade holds measured recall ≈ 0.6-0.7
     * everywhere; probe work per query is npr·N/C ≈ 1.3·N^0.825 —
     * sublinear (vs brute force's N). Both engines derive npr from the
-    * same count, so the trained index stays value-verified.
+    * same count, so the trained index stays value-verified; the -1e-9
+    * inside ceil is the QmodCte convention — JVM Math.pow and libm pow
+    * may disagree by an ulp when 1.3·C^0.65 lands exactly on an integer,
+    * which would give the engines different nprobe and diverging
+    * candidate sets.
     */
   val IvfProbes = 12
   val IvfIterations = 2    // k-medians refinement rounds
@@ -306,7 +310,7 @@ object VectorQueries {
          |    FROM sfull) t WHERE r = 1),""".stripMargin
     val ctes =
       s"""params AS (
-         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65)) AS INT)) AS npr
+         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65) - 1e-9) AS INT)) AS npr
          |  FROM (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings) pt),
          |flat AS (
          |  SELECT vec_id, i, CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) AS x
@@ -360,7 +364,7 @@ object VectorQueries {
          |    FROM sfull) t WHERE r = 1),""".stripMargin
     val ctes =
       s"""params AS (
-         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65)) AS INT)) AS npr
+         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65) - 1e-9) AS INT)) AS npr
          |  FROM (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM embeddings) pt),
          |flat AS (
          |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
