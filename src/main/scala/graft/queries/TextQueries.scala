@@ -353,7 +353,22 @@ object TextQueries {
             // (never prunes a pair where min/max = t exactly, e.g. 12/15
             // with t = 0.8 where 0.8*15 floats to 12.000000000000002)
             least(col("a.n"), col("b.n")) >=
-              floor(greatest(col("a.n"), col("b.n")) * JaccardThreshold))
+              floor(greatest(col("a.n"), col("b.n")) * JaccardThreshold) &&
+            // PPJoin positional filter: the global shingle order is shared,
+            // so for a common shingle at per-doc ranks (pa, pb), common
+            // shingles BEFORE it number <= min(pa-1, pb-1) and FROM it on
+            // <= min(na-pa+1, nb-pb+1); their sum bounds the overlap O.
+            // J >= t forces O >= t/(1+t)·(na+nb), so a join row whose
+            // bound falls below that can't come from a qualifying pair —
+            // and every common shingle of a qualifying pair satisfies the
+            // bound, so no candidate is lost. The -1e-9 keeps a float
+            // product landing a hair above an exact integer threshold
+            // from pruning a boundary pair (bound is integral; the true
+            // threshold t/(1+t)·(na+nb) = 4/9·(na+nb) at t=0.8 is exact
+            // in rationals).
+            (least(col("a.rnk"), col("b.rnk")) - 1 +
+              least(col("a.n") - col("a.rnk"), col("b.n") - col("b.rnk")) + 1) >=
+              (col("a.n") + col("b.n")) * (JaccardThreshold / (1 + JaccardThreshold)) - 1e-9)
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .distinct()
