@@ -124,11 +124,20 @@ object RelationalQueries {
 
     // A5: distinct-by-key (store keyed by signature stores each chunk once).
     "q08_distinct_parts" -> ((s, d) => {
+      // Two-level distinct, NOT countDistinct: mixing a distinct agg with
+      // count(*) makes Catalyst plan an Expand (every input row doubled,
+      // then hash-aggregated on (suppkey, partkey, gid) and exchanged BY
+      // SUPPKEY — a hot supplier's whole distinct set lands in one task's
+      // hash map; at the 100x corpus that was a 32-65 s heap-pressure swing
+      // on an 8 GB JVM). The explicit form collapses to distinct pairs
+      // with map-side partial combine behind a UNIFORM (suppkey, partkey)
+      // exchange — no Expand, no per-key distinct set in memory — and the
+      // second shuffle carries one row per distinct pair.
       lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("__pair_n"))
         .groupBy(col("l_suppkey"))
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          count(lit(1)).as("n_items"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("__pair_n")).as("n_items"))
     }),
 
     // Time-dimension rollup (month grain).
