@@ -18,6 +18,28 @@ package graft
   */
 object PlanAudit {
 
+  /** Hard GATES (not prints) on recorded streaming micro-batch plans: a
+    * regression in the plans that do the actual streaming work must exit
+    * the audit nonzero, same as a CARTESIAN in a batch plan. Each entry is
+    * (query, description, predicate) over the CONCATENATION of every plan
+    * recorded while that query ran — "any recorded plan satisfies" for
+    * presence checks (s01's cold wave-1 batch has no store scan; the warm
+    * wave-2 must show the pruned probe). Additionally every s* query must
+    * record at least one plan: an empty capture means the audit went
+    * blind, which is itself a regression.
+    */
+  private val streamGates: Seq[(String, String, String => Boolean)] = Seq(
+    ("s07_stream_static_decontam",
+      "stream-static join must broadcast the static bench side (no shuffle join)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+    ("s01_streaming_dedup",
+      "warm store probe must prune batch+sbucket partitions at the store scan",
+      p => p.contains("PartitionFilters") && p.contains("INSET") &&
+        "PartitionFilters: \\[[^\\]]*sbucket".r.findFirstIn(p).isDefined),
+    ("s01_streaming_dedup",
+      "store probe must broadcast the bounded probe side into a semi join",
+      p => "BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(p).isDefined))
+
   /** Join red flags + top-level ReadSchema field counts of one plan. */
   private def inspect(plan: String): (Seq[String], Seq[Int]) = {
     val flags = Seq(
@@ -43,13 +65,16 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet // dev: audit only the named queries
     val spark = GraftSession.get("plan-audit")
     // default 100-char truncation would cut ReadSchema mid-field and hide
     // exactly the pruning regressions this audit exists to catch
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     StreamingPlanCapture.enabled = true
     var bad = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       try {
         StreamingPlanCapture.reset()
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
@@ -60,8 +85,18 @@ object PlanAudit {
         val perPlan = allPlans.map { case (tag, p) => (tag, inspect(p)) }
         val flags = perPlan.flatMap(_._2._1).distinct
         val scans = perPlan.flatMap(_._2._2)
+        // streaming gates: concatenated recorded plans, any-plan semantics
+        val combined = streamPlans.map(_._2).mkString("\n")
+        val gateFails =
+          (if (name.startsWith("s") && streamPlans.isEmpty)
+             Seq("no micro-batch plan recorded (capture went blind)")
+           else Seq.empty) ++
+            streamGates.collect {
+              case (q, desc, pred) if q == name && !pred(combined) => desc
+            }
         val unexpected = (flags.contains("CARTESIAN")
-          || (flags.contains("NLJ") && name != "e01_cosine_topk"))
+          || (flags.contains("NLJ") && name != "e01_cosine_topk")
+          || gateFails.nonEmpty)
         if (unexpected) bad += 1
         val streamNote =
           if (streamPlans.isEmpty) ""
@@ -69,6 +104,7 @@ object PlanAudit {
         println(s"AUDIT $name flags=${flags.mkString("+")}" +
           s" scanCols=${scans.mkString(",")}$streamNote" +
           s"${if (unexpected) "  <-- UNEXPECTED" else ""}")
+        gateFails.foreach(g => println(s"AUDIT $name GATE FAILED: $g"))
       } catch {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(100)}")
       }
