@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *     10× the occupancy instead of 10 copies of each point;
   *   - `region`/`nation` stay fixed (they are fixed-size at every TPC-H SF).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor=10]
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor=10] [tables]
+  * `tables` (comma-separated) restricts output — e.g. `embeddings` builds
+  * just the 1000× ANN-validation corpus without 1000× of text/media.
   */
 object ScaleUp {
   private val Stride = 1000000000L
@@ -33,6 +35,9 @@ object ScaleUp {
     val src = args(0)
     val dest = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(name: String): Boolean = tables.isEmpty || tables(name)
     val spark = GraftSession.get("graft-scaleup")
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
@@ -40,7 +45,7 @@ object ScaleUp {
     // the streaming source's pathGlobFilter and the cawd engine's
     // suffix-driven file listing both key on that, so the scaled corpus
     // must match it — write a single part file and move it into place
-    def write(df: DataFrame, name: String): Unit = {
+    def write(df: DataFrame, name: String): Unit = if (wanted(name)) {
       import org.apache.hadoop.fs.Path
       val tmp = s"$dest/.tmp_$name"
       df.repartition(1).write.mode("overwrite").parquet(tmp)
@@ -94,7 +99,15 @@ object ScaleUp {
     // rotation index wraps at the dimension count (64); replicas past the
     // wrap additionally NEGATE (norms preserved, cos sign flips), so every
     // replica up to factor 128 stays direction-distinct from all others —
-    // a plain rep-position slice went negative-length at factor > 64
+    // a plain rep-position slice went negative-length at factor > 64.
+    // Replicas ≥ 128 (the 1000× ANN-validation corpus) apply a
+    // hash(rep, dim)-keyed per-dimension sign flip instead — a diagonal ±1
+    // orthogonal transform, so norms are still preserved while every
+    // rotation class gets 2⁶⁴ distinct sign patterns; without it factor
+    // 1000 would repeat the 128 available rotation/negation combos ~8×
+    // and collapse IVF cells into cross-replica duplicate explosions.
+    // Replicas < 128 keep the EXACT prior construction, so existing
+    // 10×/100× corpora (and their committed recall rows) reproduce.
     write(reps(read("embeddings"))
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding", expr(
@@ -103,7 +116,10 @@ object ScaleUp {
           |  concat(slice(embedding, CAST(rep % 64 + 1 AS INT),
           |               size(embedding) - CAST(rep % 64 AS INT)),
           |         slice(embedding, 1, CAST(rep % 64 AS INT))),
-          |  x -> CASE WHEN rep < 64 THEN x ELSE -x END) END""".stripMargin))
+          |  (x, i) -> CASE WHEN rep < 64 THEN x
+          |                 WHEN rep < 128 THEN -x
+          |                 WHEN pmod(hash(rep, i), 2) = 0 THEN x
+          |                 ELSE -x END) END""".stripMargin))
       .drop("rep"), "embeddings")
 
     println(s"[scaleup] wrote $factor x $src -> $dest")
