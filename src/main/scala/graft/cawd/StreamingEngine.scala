@@ -189,7 +189,13 @@ object StreamingEngine {
   def start(spark: SparkSession, inDir: String, storeDir: String,
             statsDir: String, suffix: String, fmt: CawdEngine.Format,
             checkpointDir: String, exportDir: Option[String] = None): StreamingQuery = {
-    val files = spark.readStream
+    // The whole stream runs on the latency-tuned child session (same
+    // SparkContext/executors, private SQLConf): the file source's arrival
+    // listing then happens driver-side instead of as a per-trigger Spark
+    // job, and foreachBatch inherits the same conf. File count per batch
+    // is unknown here; processBatch re-sizes shuffle partitions per batch.
+    val sess = latencySession(spark, spark.sparkContext.defaultParallelism)
+    val files = sess.readStream
       .format("binaryFile")
       .schema(org.apache.spark.sql.execution.datasources.binaryfile.BinaryFileFormat.schema)
       .option("pathGlobFilter", s"*$suffix")
@@ -202,7 +208,7 @@ object StreamingEngine {
     files.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, storeDir, statsDir, fmt, exportDir)
+        processBatch(sess, batch, batchId, storeDir, statsDir, fmt, exportDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -239,15 +245,30 @@ object StreamingEngine {
     */
   private val latencySessions =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private val LatencyMark = "graft.internal.latencySession"
   private def latencySession(spark: SparkSession, nFiles: Int): SparkSession = {
-    val s = latencySessions.synchronized {
-      Option(latencySessions.get(spark)).getOrElse {
-        val c = spark.newSession()
-        latencySessions.put(spark, c)
-        c
+    // idempotent: a session that already IS the latency child (the stream
+    // itself runs on one — see start()) must not spawn a grandchild
+    val s =
+      if (spark.conf.getOption(LatencyMark).contains("true")) spark
+      else latencySessions.synchronized {
+        Option(latencySessions.get(spark)).getOrElse {
+          val c = spark.newSession()
+          c.conf.set(LatencyMark, "true")
+          latencySessions.put(spark, c)
+          c
+        }
       }
-    }
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // Driver-side file listing up to 4096 paths (default threshold 32):
+    // at micro-batch cadence the distributed listing JOB is ~0.3 s of pure
+    // scheduling — 3× the listing itself — and it fires twice per batch
+    // (file source enumerating arrivals, store probe enumerating
+    // batch=*/sbucket=* leaf dirs, both ≫ 32 paths). A local/HDFS
+    // listStatus is ~ms per directory, so 4096 driver-side listings stay
+    // ≪ one job's scheduling cost; an object-store deployment with
+    // slow per-dir RPC should lower this back down.
+    s.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(spark.sparkContext.defaultParallelism, math.max(2, nFiles)).toString)
     s
@@ -347,7 +368,12 @@ object StreamingEngine {
   /** Batch view over the accumulated streaming stats (per-file + global
     * rollup, same shape as the batch engine's output).
     */
-  def statsRollup(spark: SparkSession, statsDir: String): DataFrame =
-    Stats.rollup(spark.read.option("basePath", statsDir).parquet(statsDir)
+  def statsRollup(spark: SparkSession, statsDir: String): DataFrame = {
+    // same latency posture as the micro-batches: the rollup reads a few
+    // dozen small per-batch files, so AQE's per-stage jobs and the
+    // distributed listing job are pure overhead at this size
+    val sess = latencySession(spark, spark.sparkContext.defaultParallelism)
+    Stats.rollup(sess.read.option("basePath", statsDir).parquet(statsDir)
       .drop("batch_id"))
+  }
 }
