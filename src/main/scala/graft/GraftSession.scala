@@ -42,6 +42,22 @@ object GraftSession {
       // I/O-bound scans lose nothing measurable at this split size, and
       // tiny files still yield one task.
       .config("spark.sql.files.maxPartitionBytes", 32L * 1024 * 1024)
+      // InferFiltersFromGenerate rewrites every `explode(f(x))` into
+      // Filter(size(f(x)) > 0 AND isnotnull(f(x))) + Generate — sensible
+      // when f is cheap, pathological when f is a dense kernel: the alias
+      // substitution re-evaluates f TWICE more per row, and predicate
+      // pushdown then drags the kernel-bearing filter below the
+      // rows-not-bytes repartition (Tables.spread) into the raw file scan,
+      // whose task count is bounded by parquet ROW GROUPS, not splits —
+      // measured at the 1000× ANN corpus (50 M vectors, one ~137 MB
+      // single-row-group file): e02's sign-LSH bucketing collapsed to ONE
+      // task evaluating the kernel 3× per row, hours of serial compute for
+      // a ~40 s parallel stage. Every explode in this engine generates
+      // from a computed array (LSH buckets, winnow postings, shingle
+      // arrays, media frames), so the rule is net-negative here; the
+      // generators themselves skip empty arrays.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Blob-aware scan batching: the vectorized parquet reader sizes
