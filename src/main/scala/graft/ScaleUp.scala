@@ -48,7 +48,16 @@ object ScaleUp {
     def write(df: DataFrame, name: String): Unit = if (wanted(name)) {
       import org.apache.hadoop.fs.Path
       val tmp = s"$dest/.tmp_$name"
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      // 16 MB row groups (default 128 MB): parquet splits only at row-group
+      // boundaries, so a single-file corpus written with default blocks
+      // gives scans 1-2 effective tasks no matter what
+      // files.maxPartitionBytes asks for — the 1000× embeddings file
+      // measured its whole first decode in ONE task. Small row groups keep
+      // the one-file-per-table driver layout while letting the 32 MB scan
+      // splits actually land on distinct row groups.
+      df.repartition(1).write.mode("overwrite")
+        .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        .parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new Path(dest).getFileSystem(conf)
       val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
