@@ -26,7 +26,19 @@ object VectorQueries {
 
   val TopK = 5
   val TopKBands = 16       // e02 OR-construction: base band-table count ...
-  val TopKBandsMax = 64    // ... growing with np to hold recall (bandedCtes)
+  /** e02 band-table cap. Bands grow 16 + 8·(np−4) with the adaptive
+    * planes/band, because per-band true-neighbor collision ~p^np decays as
+    * np tracks log(N) — LSH holds recall by adding hash tables. The cap
+    * bounds index cost (N·nb rows); 64 held through three decades but the
+    * 1000× gate (N = 50 M, np = 21) measured recall@5 0.726 vs the 0.75
+    * floor — the first scale where Hamming-1 multi-probe plus 64 tables
+    * can't cover p^21. From the measured per-band hit rate there
+    * (q = 1−(1−0.726)^(1/64) ≈ 0.020), 128 tables give ≈ 1−(1−q)^128 ≈
+    * 0.92 — margin for another decade of np growth (np itself caps at 24,
+    * after which q stabilizes). Index cost at np ≥ 18 doubles vs the old
+    * cap; candidates per probe stay ~nb·occupancy·(np+1), occupancy-bounded.
+    */
+  val TopKBandsMax = 128
   /** IVF probe floor: nprobe = max(this, ceil(1.3·C^0.65)) with
     * C = ceil(√N) cells. A FIXED nprobe decays with scale on an isotropic
     * corpus — a query's true neighbors spread over more cells as C grows
