@@ -22,6 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString, "docroot" -> ""))
         CosineSimilarity(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`dot_product`", "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        DotProduct(exprs(0), exprs(1))
+      }))
     // Spark ships codegen'd Bloom expressions (BloomFilterAggregate /
     // BloomFilterMightContain) for its runtime join filters but does not
     // register them in the SQL function registry; exposing them here gives

@@ -169,8 +169,8 @@ object VectorQueries {
     * per probe at any corpus size.
     */
   private def e02Sql(spark: Boolean): String = {
-    val cosFn = if (spark) "round(cosine_sim(ea.embedding, eb.embedding), 6)"
-                else CosSql
+    val cosFn = if (spark) FactoredCos else CosSql
+    val embSrc = if (spark) ENormSrc else "embeddings"
     // Multi-probe OR-construction (Lv et al. 2007, "Multi-Probe LSH"):
     // each probe also looks in the np one-bit-flip neighbor buckets of its
     // band signature. Rationale: np grows log(N) to hold bucket occupancy,
@@ -220,8 +220,8 @@ object VectorQueries {
        |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id != n.vec_id),
        |scored AS (
        |  SELECT q_id, n_id, $cosFn AS cos
-       |  FROM cand JOIN embeddings ea ON cand.q_id = ea.vec_id
-       |            JOIN embeddings eb ON cand.n_id = eb.vec_id)
+       |  FROM cand JOIN $embSrc ea ON cand.q_id = ea.vec_id
+       |            JOIN $embSrc eb ON cand.n_id = eb.vec_id)
        |SELECT q_id, rank, n_id, cos FROM (
        |  SELECT q_id, n_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
@@ -288,26 +288,55 @@ object VectorQueries {
          |          substr(md5(CAST(vec_id AS STRING)), 1, 1)) - 1 < 8),
          |tflat AS (SELECT f.vec_id, f.i, f.x FROM flat f JOIN samp USING (vec_id)),
          |""".stripMargin
+    // Norm-factored scoring: cosine_sim fuses dot + BOTH norms per
+    // comparison, but each norm depends on one side only — on the N·C cell
+    // matrix that recomputation triples the hot-loop flops. The row norm
+    // is computed once per vector (below the explode, where CollapseProject
+    // cannot reach across the Generate), the cell norm once per cell
+    // (aggregate HOF folds cvec left-to-right, the same order as the
+    // kernel's accumulator), and the quotient dot/(nrm·cnrm) is the
+    // IDENTICAL double expression cosine_sim evaluates — bit-equal, not
+    // approximately equal (CosineParitySpec). nullif maps zero norms to
+    // null exactly like cosine_sim (the factors are non-negative).
     def score(name: String, cellsOf: String, src: String) =
       s"""$name AS (
          |  SELECT vec_id, cc.cell AS cell,
-         |    round(cosine_sim(embedding, cc.cvec), 6) AS cos
-         |  FROM $src LATERAL VIEW explode((SELECT cells FROM $cellsOf)) t AS cc)"""
+         |    round(dot_product(embedding, cc.cvec)
+         |          / nullif(nrm * cc.cnrm, 0), 6) AS cos
+         |  FROM (SELECT vec_id, embedding,
+         |          sqrt(dot_product(embedding, embedding)) AS nrm FROM $src) en
+         |  LATERAL VIEW explode((SELECT cells FROM $cellsOf)) t AS cc)"""
+    // Cell assignment = per-vector argmax as a HASH AGGREGATE, not a
+    // window: row_number() r=1 over the N·C scored relation plans as a
+    // full Sort of N·C rows (the dominant e03/e05/e07 cost at 100× —
+    // two ~11-G-row sorts dwarfed the kernel flops they ranked), while
+    // max(struct(cos, -cell)) reduces map-side inside the scoring stage
+    // to one row per vector before the exchange. Tie-break parity with
+    // the window form (and the oracle's row_number): struct comparison is
+    // lexicographic, so max cos wins, equal cos takes max(-cell) = min
+    // cell; a null cos (zero-norm) maps to -Infinity, ranking last like
+    // NULLS LAST — identical winner in every case.
+    def argmax(name: String, src: String) =
+      s"""$name AS (
+         |  SELECT vec_id, CAST(-mx.nc AS INT) AS cell FROM (
+         |    SELECT vec_id,
+         |      max(struct(coalesce(cos, CAST('-Infinity' AS DOUBLE)) AS c,
+         |                 -cell AS nc)) AS mx
+         |    FROM $src GROUP BY vec_id) t)"""
     val iters = (1 to IvfIterations).map { it =>
       s"""c$it AS (
          |  SELECT cell, i, round(percentile(x, 0.5), 6) AS cx
          |  FROM $trainSrc JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
          |cl$it AS (
-         |  SELECT collect_list(struct(cell, cvec)) AS cells FROM (
-         |    SELECT cell,
-         |      transform(array_sort(collect_list(struct(i, cx))), e -> e.cx) AS cvec
-         |    FROM c$it GROUP BY cell)),
+         |  SELECT collect_list(struct(cell, cvec, cnrm)) AS cells FROM (
+         |    SELECT cell, cvec,
+         |      sqrt(aggregate(cvec, CAST(0 AS DOUBLE), (a, v) -> a + v * v)) AS cnrm
+         |    FROM (
+         |      SELECT cell,
+         |        transform(array_sort(collect_list(struct(i, cx))), e -> e.cx) AS cvec
+         |      FROM c$it GROUP BY cell) cv)),
          |${score(s"s$it", s"cl$it", trainEmb)},
-         |a$it AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
-         |    FROM s$it) t WHERE r = 1),""".stripMargin
+         |${argmax(s"a$it", s"s$it")},""".stripMargin
     }.mkString("\n")
     // sampled training adds ONE final full-corpus scoring/assignment pass
     // against the last trained centroids; full training reuses the last
@@ -315,11 +344,7 @@ object VectorQueries {
     val finalCtes = if (!trainSample) "" else
       s"""
          |${score("sfull", s"cl$last", "embeddings")},
-         |afull AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
-         |    FROM sfull) t WHERE r = 1),""".stripMargin
+         |${argmax("afull", "sfull")},""".stripMargin
     val ctes =
       s"""params AS (
          |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65) - 1e-9) AS INT)) AS npr
@@ -389,8 +414,9 @@ object VectorQueries {
   }
 
   private def ivfSql(spark: Boolean, trainSample: Boolean = false): String = {
-    val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
-                else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+    val cosFn = if (spark) FactoredCos
+                else "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)"
+    val embSrc = if (spark) ENormSrc else "embeddings"
     val (ctes, sFin, aFin) = ivfAssignCtes(spark, trainSample)
     s"""WITH $QmodCte,
        |$ctes
@@ -403,9 +429,9 @@ object VectorQueries {
        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
        |  FROM probes p JOIN $aFin a USING (cell) WHERE p.q_id <> a.vec_id),
        |scored AS (
-       |  SELECT q_id, n_id, round($cosFn, 6) AS cos
-       |  FROM pairs JOIN embeddings ea ON pairs.q_id = ea.vec_id
-       |             JOIN embeddings eb ON pairs.n_id = eb.vec_id)
+       |  SELECT q_id, n_id, $cosFn AS cos
+       |  FROM pairs JOIN $embSrc ea ON pairs.q_id = ea.vec_id
+       |             JOIN $embSrc eb ON pairs.n_id = eb.vec_id)
        |SELECT q_id, rank, n_id, cos FROM (
        |  SELECT q_id, n_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
@@ -420,8 +446,8 @@ object VectorQueries {
     * generation is an equi-join on (band, bucket) — never all-pairs.
     */
   private def e04Sql(spark: Boolean): String = {
-    val cosFn = if (spark) "round(cosine_sim(ea.embedding, eb.embedding), 6)"
-                else CosSql
+    val cosFn = if (spark) FactoredCos else CosSql
+    val embSrc = if (spark) ENormSrc else "embeddings"
     s"""WITH ${bandedCtes(spark, NdBands.toString, NdBands, NdPlanesPerBand, "nd:")},
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS ida, n.vec_id AS idb
@@ -429,8 +455,8 @@ object VectorQueries {
        |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id < n.vec_id),
        |scored AS (
        |  SELECT ida, idb, ea.label AS la, eb.label AS lb, $cosFn AS cos
-       |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
-       |            JOIN embeddings eb ON cand.idb = eb.vec_id)
+       |  FROM cand JOIN $embSrc ea ON cand.ida = ea.vec_id
+       |            JOIN $embSrc eb ON cand.idb = eb.vec_id)
        |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin
   }
 
@@ -480,10 +506,11 @@ object VectorQueries {
   private[graft] def semanticDedupSql(
       spark: Boolean,
       capExpr: String = s"greatest($SemCellCapFloor, 4 * (SELECT c FROM params))"): String = {
-    val cosFn = if (spark) "cosine_sim(ea.embedding, eb.embedding)"
+    val cosFn = if (spark) factoredCos("ea", "eb")
                 else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
-    val cosMS = if (spark) "cosine_sim(em.embedding, es.embedding)"
+    val cosMS = if (spark) factoredCos("em", "es")
                 else "list_cosine_similarity(em.embedding::DOUBLE[], es.embedding::DOUBLE[])"
+    val embSrc = if (spark) ENormSrc else "embeddings"
     val (ctes, _, aFin) = ivfAssignCtes(spark)
     // Cell-size cap: within-cell pairs are quadratic in the HOTTEST cell —
     // at 10⁹ vectors one dense cluster landing in one k-medians cell turns
@@ -524,8 +551,8 @@ object VectorQueries {
        |      row_number() OVER (PARTITION BY m.vec_id
        |        ORDER BY round($cosMS, 6) DESC, s.j ASC) AS rr
        |    FROM mem m JOIN seeds s USING (cell)
-       |      JOIN embeddings em ON m.vec_id = em.vec_id
-       |      JOIN embeddings es ON s.seed_id = es.vec_id
+       |      JOIN $embSrc em ON m.vec_id = em.vec_id
+       |      JOIN $embSrc es ON s.seed_id = es.vec_id
        |    WHERE m.ks > 1) t
        |  WHERE rr = 1),
        |pairs AS (
@@ -534,8 +561,8 @@ object VectorQueries {
        |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT cell, ida, idb, round($cosFn, 6) AS cos
-       |  FROM pairs JOIN embeddings ea ON pairs.ida = ea.vec_id
-       |             JOIN embeddings eb ON pairs.idb = eb.vec_id),
+       |  FROM pairs JOIN $embSrc ea ON pairs.ida = ea.vec_id
+       |             JOIN $embSrc eb ON pairs.idb = eb.vec_id),
        |dropped AS (
        |  SELECT idb AS vec_id, min(ida) AS dup_of
        |  FROM scored WHERE cos >= $SemThreshold GROUP BY idb)
@@ -617,22 +644,40 @@ object VectorQueries {
   private val CosSql =
     "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)"
 
+  /** Norm-factored cosine for the Spark side of pair-scoring joins (same
+    * rationale and bit-equality argument as ivfAssignCtesSpark's score()):
+    * both join sides come from [[ENormSrc]], which precomputes each
+    * vector's norm ONCE instead of per compared pair. The oracle keeps the
+    * fused `list_cosine_similarity` form — the independent re-derivation.
+    */
+  private def factoredCos(a: String, b: String): String =
+    s"dot_product($a.embedding, $b.embedding) / nullif($a.nrm * $b.nrm, 0)"
+  private val FactoredCos = s"round(${factoredCos("ea", "eb")}, 6)"
+  private val ENormSrc =
+    "(SELECT vec_id, embedding, label, " +
+      "sqrt(dot_product(embedding, embedding)) AS nrm FROM embeddings)"
+
   /** e01 SQL, both engines: bounded probe sample × corpus, exact rerank.
     * The Spark side hints BROADCAST on the probe subquery (the non-equi
     * pair join is the one deliberate NLJ in the suite); DuckDB ignores the
     * hint comment.
     */
   private def e01Sql(spark: Boolean): String = {
-    val cosFn = if (spark) "round(cosine_sim(ea.embedding, eb.embedding), 6)"
-                else CosSql
+    val cosFn = if (spark) FactoredCos else CosSql
     val hint = if (spark) "/*+ BROADCAST(ea) */ " else ""
+    val (eaSrc, ebSrc) =
+      if (spark)
+        (s"(SELECT vec_id, embedding, nrm FROM $ENormSrc t WHERE $ProbeFilter)",
+          ENormSrc)
+      else ("(SELECT vec_id, embedding FROM embeddings WHERE " +
+        s"$ProbeFilter)", "embeddings")
     s"""WITH $QmodCte
        |SELECT q_id, rank, n_id, cos FROM (
        |  SELECT $hint ea.vec_id AS q_id, eb.vec_id AS n_id, $cosFn AS cos,
        |    row_number() OVER (PARTITION BY ea.vec_id
        |      ORDER BY $cosFn DESC, eb.vec_id ASC) AS rank
-       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE $ProbeFilter) ea
-       |       JOIN embeddings eb ON ea.vec_id != eb.vec_id) t
+       |  FROM $eaSrc ea
+       |       JOIN $ebSrc eb ON ea.vec_id != eb.vec_id) t
        |WHERE rank <= $TopK""".stripMargin
   }
 

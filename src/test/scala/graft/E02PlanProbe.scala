@@ -1,27 +1,32 @@
 package graft
 
-/** Dev-only: dump e02's final adaptive plan plus per-stage task counts, to
-  * locate which stage the sign-LSH kernel lands in and how wide it runs.
+/** Dev-only: dump a query's final adaptive plan plus per-stage task counts
+  * and CPU, to locate which stage dominates and how wide it runs.
+  * Usage: Test/runMain graft.E02PlanProbe [sfDir] [queryName]
   */
 object E02PlanProbe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = GraftSession.get("e02-plan-probe")
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+    val q = if (args.length > 1) args(1) else "e02_lsh_topk"
+    val spark = GraftSession.get("plan-probe")
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val cpu = i.taskMetrics.executorCpuTime / 1000000L
-        stages.put(i.stageId, (i.numTasks, cpu))
+        stages.put(i.stageId, (i.numTasks, cpu, i.name.take(60)))
       }
     })
-    val df = SparkEntry.queries("e02_lsh_topk")(spark, sf)
+    val df = SparkEntry.queries(q)(spark, sf)
     df.write.format("noop").mode("overwrite").save()
     println("===== final plan =====")
     println(df.queryExecution.executedPlan.treeString)
-    println("===== stages (id, tasks, cpuMs) =====")
-    stages.forEach { (id, v) => println(s"stage $id tasks=${v._1} cpuMs=${v._2}") }
+    println("===== stages by cpu (id, tasks, cpuMs) =====")
+    import scala.jdk.CollectionConverters._
+    stages.asScala.toSeq.sortBy(-_._2._2).take(15).foreach { case (id, v) =>
+      println(f"stage $id%4d tasks=${v._1}%5d cpuMs=${v._2}%8d  ${v._3}")
+    }
     spark.stop()
   }
 }
