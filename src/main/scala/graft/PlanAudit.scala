@@ -40,12 +40,33 @@ object PlanAudit {
       "store probe must broadcast the bounded probe side into a semi join",
       p => "BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(p).isDefined))
 
+  /** Graft's dense kernel expressions. A FILTER whose condition evaluates
+    * one of these is the InferFiltersFromGenerate pathology (round 7): the
+    * rule duplicates the kernel into an inferred guard and predicate
+    * pushdown sinks it below the rows-not-bytes repartition into the raw
+    * scan — whose width is row-group-bound, so a whole kernel pass
+    * serializes into 1-2 tasks (measured: hours at the 1000× corpus). The
+    * rule is excluded in GraftSession; this gate fails the audit loudly if
+    * the shape ever reappears (rule re-enabled, a future optimizer rule
+    * recreating it, or a hand-written kernel predicate).
+    */
+  private val KernelNames =
+    Seq("sign_lsh_buckets", "winnow_fp", "cosine_sim", "dot_product")
+  private[graft] def kernelFilterFlag(plan: String): Boolean =
+    plan.linesIterator.exists { l =>
+      val t = l.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-')
+      (t.startsWith("Filter ") || t.startsWith("*Filter ") ||
+        "^\\*\\(\\d+\\) Filter ".r.findFirstIn(t).isDefined) &&
+        KernelNames.exists(t.contains)
+    }
+
   /** Join red flags + top-level ReadSchema field counts of one plan. */
   private def inspect(plan: String): (Seq[String], Seq[Int]) = {
     val flags = Seq(
       "NLJ" -> plan.contains("BroadcastNestedLoopJoin"),
       "CARTESIAN" -> plan.contains("CartesianProduct"),
-      "SMJ" -> plan.contains("SortMergeJoin")
+      "SMJ" -> plan.contains("SortMergeJoin"),
+      "KERNEL_FILTER" -> kernelFilterFlag(plan)
     ).collect { case (f, true) => f }
     // count TOP-LEVEL fields of each ReadSchema (nested array<>/struct<>
     // types must not truncate the match or inflate the count)
@@ -96,6 +117,7 @@ object PlanAudit {
             }
         val unexpected = (flags.contains("CARTESIAN")
           || (flags.contains("NLJ") && name != "e01_cosine_topk")
+          || flags.contains("KERNEL_FILTER")
           || gateFails.nonEmpty)
         if (unexpected) bad += 1
         val streamNote =
