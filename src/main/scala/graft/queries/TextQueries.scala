@@ -764,13 +764,27 @@ object TextQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
       val texts = df.select(col("doc_id"), col("text"))
+      // Bounded levenshtein: a kept pair needs sim ≥ t ⇔ dist ≤ (1−t)·maxlen,
+      // so the DP runs Spark's banded threshold form — O(k·n) instead of
+      // O(n·m), k = floor((1−t)·maxlen)+1 (the +1 absorbs the 6-dp rounding
+      // slop at the boundary). Pairs beyond the band return -1 and are
+      // dropped — exactly the rows the sim filter discards anyway, so the
+      // result is identical to the oracle's full-DP re-derivation, which
+      // deliberately stays unbounded as the independent check.
       cands
         .join(texts.as("ta"), col("ida") === col("ta.doc_id"))
         .join(texts.as("tb"), col("idb") === col("tb.doc_id"))
         .select(col("ida"), col("idb"),
-          levenshtein(col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
-          round(lit(1.0) - levenshtein(col("ta.text"), col("tb.text")).cast("double") /
-            greatest(length(col("ta.text")), length(col("tb.text"))), 6).as("edit_sim"))
+          expr(s"""levenshtein(ta.text, tb.text, CAST(floor(
+                  |  (1.0 - $EditSimThreshold) *
+                  |  greatest(length(ta.text), length(tb.text))) AS INT) + 1)"""
+            .stripMargin).as("bdist"),
+          greatest(length(col("ta.text")), length(col("tb.text"))).as("maxlen"))
+        .filter(col("bdist") >= 0)
+        .select(col("ida"), col("idb"),
+          col("bdist").cast("long").as("edit_dist"),
+          round(lit(1.0) - col("bdist").cast("double") / col("maxlen"), 6)
+            .as("edit_sim"))
         .filter(col("edit_sim") >= EditSimThreshold)
     }),
 
