@@ -115,7 +115,7 @@ object TextQueries {
 
   // --- shared spark fragments -------------------------------------------
 
-  private def docShingles(df: DataFrame): DataFrame =
+  private[graft] def docShingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
 
@@ -123,7 +123,7 @@ object TextQueries {
     * set. One shingle explode, k min aggregates, band concat — the at-scale
     * shape.
     */
-  private def minhashBands(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     // ONE md5 per shingle, K derived hashes g_k = (h1 + k·h2) mod p
     // (Kirsch–Mitzenmacher two-hash scheme — the standard replacement for K
     // independent hash functions). K separate md5 calls dominated this
