@@ -229,11 +229,39 @@ object VectorQueries {
        |WHERE rank <= $TopK""".stripMargin
   }
 
-  private def registerEmbeddings(s: SparkSession, d: String): Unit =
+  /** AQE-off child session for the vector pack, memoized per parent (same
+    * SparkContext/executors, private SQLConf — the StreamingEngine
+    * latency-session pattern). AQE materializes every query stage as its
+    * own job with a full barrier; the iterative IVF/LSH queries here are
+    * ~60-stage plans of sub-second CPU-dense stages, so the barriers — not
+    * flops — dominated wall time once scoring was norm-factored (measured
+    * at the 100× corpus: e03 29.6 → 15.7 s, e05 45.7 → 23.3 s, e07 26.5 →
+    * 13.3 s, ~2× family-wide). What AQE would buy is not needed here: skew
+    * is design-bounded (adaptive bucket occupancy, cell caps, round-robin
+    * spreads) and the one join that must broadcast carries an explicit
+    * hint. The third engine-specific AQE finding after SCALE.md's
+    * byte-coalescing and listing-job entries.
+    */
+  private val denseSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def denseSession(spark: SparkSession): SparkSession =
+    denseSessions.synchronized {
+      Option(denseSessions.get(spark)).getOrElse {
+        val c = spark.newSession()
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        denseSessions.put(spark, c)
+        c
+      }
+    }
+
+  private def registerEmbeddings(s: SparkSession, d: String): SparkSession = {
     // dense entry: every query here does per-cell/per-plane kernel math
     // over the vectors — parallelism must follow rows, not parquet bytes
     // (Tables.spread scaladoc; the sf10 e03/e07 superlinear finding)
-    embeddingsDense(s, d).createOrReplaceTempView("embeddings")
+    val ds = denseSession(s)
+    embeddingsDense(ds, d).createOrReplaceTempView("embeddings")
+    ds
+  }
 
   /** Trained-IVF search SQL, identical semantics in both engines:
     * C = ceil(sqrt(N)) cells seeded by `vec_id % C`, [[IvfIterations]]
@@ -576,17 +604,13 @@ object VectorQueries {
     // side is broadcast (a bounded ~500-vector sample), so the
     // probes×corpus score pass is a single shuffle-free stage over the
     // vector table — linear in N for the bounded probe budget.
-    "e01_cosine_topk" -> ((s, d) => {
-      registerEmbeddings(s, d)
-      s.sql(e01Sql(spark = true))
-    }),
+    "e01_cosine_topk" -> ((s, d) =>
+      registerEmbeddings(s, d).sql(e01Sql(spark = true))),
 
     // OR-construction sign-LSH top-k: multi-band candidate union + exact
     // rerank (see e02Sql).
-    "e02_lsh_topk" -> ((s, d) => {
-      registerEmbeddings(s, d)
-      s.sql(e02Sql(spark = true))
-    }),
+    "e02_lsh_topk" -> ((s, d) =>
+      registerEmbeddings(s, d).sql(e02Sql(spark = true))),
 
     // IVF with a TRAINED index: ceil(sqrt(N)) cells, 2 rounds of k-medians
     // (per-dimension exact medians — order-independent and bit-identical
@@ -594,10 +618,8 @@ object VectorQueries {
     // cells and exact-rerank. Training here runs on the full corpus; at
     // 100 TB the standard move is to train on a sample — assignment stays
     // the same C·N·d join either way.
-    "e03_ivf_topk" -> ((s, d) => {
-      registerEmbeddings(s, d)
-      s.sql(ivfSql(spark = true))
-    }),
+    "e03_ivf_topk" -> ((s, d) =>
+      registerEmbeddings(s, d).sql(ivfSql(spark = true))),
 
     // IVF with SAMPLED training — the 100 TB shape: k-medians rounds run
     // over a deterministic ~50% md5 hash sample of the corpus (at 10⁹
@@ -605,10 +627,8 @@ object VectorQueries {
     // vector pays exactly one assignment join against the trained
     // centroids. Same probe/rerank as e03; the hash sample is reproducible
     // in DuckDB, so the sampled index is value-verified end-to-end.
-    "e07_ivf_topk_sampled" -> ((s, d) => {
-      registerEmbeddings(s, d)
-      s.sql(ivfSql(spark = true, trainSample = true))
-    }),
+    "e07_ivf_topk_sampled" -> ((s, d) =>
+      registerEmbeddings(s, d).sql(ivfSql(spark = true, trainSample = true))),
 
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus,
     // compare pairs ONLY within a cluster, drop every vector that has a
@@ -618,27 +638,21 @@ object VectorQueries {
     // and each cell's pair generation is an equi-join on `cell` — the same
     // bounded-bucket shape as d06/e04. At larger corpora C grows with N, so
     // cell populations (and the per-cell quadratic) stay bounded.
-    "e05_semantic_dedup" -> ((s, d) => {
-      registerEmbeddings(s, d)
-      s.sql(semanticDedupSql(spark = true))
-    }),
+    "e05_semantic_dedup" -> ((s, d) =>
+      registerEmbeddings(s, d).sql(semanticDedupSql(spark = true))),
 
     // Near-duplicate vector pairs: banded sign-LSH candidates + exact
     // cosine verification (embedding-space analogue of d06's MinHash-LSH;
     // threshold tuned to the corpus's similarity range). Candidates come
     // from an equi-join on (band, bucket) — no all-pairs/NLJ anywhere.
-    "e04_cosine_neardup_pairs" -> ((s, d) => {
-      registerEmbeddings(s, d)
-      s.sql(e04Sql(spark = true))
-    }),
+    "e04_cosine_neardup_pairs" -> ((s, d) =>
+      registerEmbeddings(s, d).sql(e04Sql(spark = true))),
 
     // int8 scalar quantization of the embedding column (see quantizeSql).
     // The dims agg is a 64-row table — broadcast back to the flat stream —
     // so the whole pipeline is two narrow passes over the corpus.
-    "e06_vector_quantize" -> ((s, d) => {
-      registerEmbeddings(s, d)
-      s.sql(quantizeSql(spark = true))
-    })
+    "e06_vector_quantize" -> ((s, d) =>
+      registerEmbeddings(s, d).sql(quantizeSql(spark = true)))
   )
 
   private val CosSql =
