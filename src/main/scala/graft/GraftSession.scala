@@ -13,6 +13,80 @@ import org.apache.spark.sql.SparkSession
   *   convert in [[Tables.events]].
   */
 object GraftSession {
+
+  /** Conf key marking a session as a graft child and naming its posture. */
+  private[graft] val ChildTagKey = "graft.internal.childTag"
+
+  // one child per (parent, tag); weak on the parent so a stopped session's
+  // children are collectable
+  private val children =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, SparkSession]]()
+
+  /** Posture-tuned child session: same SparkContext (same executors, same
+    * cache/checkpoint blocks), PRIVATE SQLConf — the one consolidated
+    * implementation of the pattern three operators grew independently in
+    * rounds 6-7 (ConnectedComponents' star loop, StreamingEngine's latency
+    * session, VectorQueries' dense session). DataFrames cross the boundary
+    * via `child.createDataFrame(df.rdd, df.schema)` or by running the SQL
+    * on the child directly.
+    *
+    * Semantics:
+    *   - memoized per (parent, tag): repeated calls return the SAME child,
+    *     with the requested conf RE-APPLIED each call (an earlier caller's
+    *     partition sizing never leaks into the next use — the round-7
+    *     large-backfill bug, where a 2-partition micro-batch posture
+    *     silently served a million-file backfill);
+    *   - idempotent under self-application: a session that already carries
+    *     `tag` IS the requested child and is returned as-is (conf
+    *     re-applied) — no grandchild chains when an operator running ON a
+    *     child re-enters (the stream's processBatch runs on the latency
+    *     child it would otherwise re-derive);
+    *   - DISTINCT tags give distinct sessions, deliberately: two postures
+    *     sharing one child's mutable SQLConf race (the round-7
+    *     statsRollup-vs-micro-batch finding) — separation by tag is the
+    *     fix, so callers must not share a tag across concurrent uses with
+    *     different sizing.
+    *
+    * Why AQE defaults OFF here: every child in this engine exists for
+    * many-small-stage work (iterative star contraction, micro-batches,
+    * ~60-stage sub-second vector plans) where AQE's per-stage
+    * materialization barriers and per-job driver round-trips dominate wall
+    * time (three independent round-6/7 measurements; SCALE.md). What AQE
+    * would buy — skew splitting, byte-coalescing — is design-bounded in
+    * those plans. Callers doing genuinely large shuffles (the backfill
+    * path) pass `aqe = true`.
+    */
+  def child(parent: SparkSession, tag: String,
+            aqe: Boolean = false,
+            shufflePartitions: Option[Int] = None,
+            listingThreshold: Option[Int] = None): SparkSession = {
+    val s =
+      if (parent.conf.getOption(ChildTagKey).contains(tag)) parent
+      else {
+        val perParent = children.synchronized {
+          var m = children.get(parent)
+          if (m == null) {
+            m = new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+            children.put(parent, m)
+          }
+          m
+        }
+        perParent.computeIfAbsent(tag, _ => {
+          val c = parent.newSession()
+          c.conf.set(ChildTagKey, tag)
+          c
+        })
+      }
+    s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+    shufflePartitions.foreach(n =>
+      s.conf.set("spark.sql.shuffle.partitions", math.max(1, n).toString))
+    listingThreshold.foreach(n =>
+      s.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        n.toString))
+    s
+  }
+
   def get(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)

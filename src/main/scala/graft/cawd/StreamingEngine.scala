@@ -243,36 +243,20 @@ object StreamingEngine {
     * matter on a batch this size. Shuffle partitions follow the file count
     * (rows-not-bytes rule) so tiny batches don't launch 32-task stages.
     */
-  private val latencySessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
-  private val LatencyMark = "graft.internal.latencySession"
-  private def latencySession(spark: SparkSession, nFiles: Int): SparkSession = {
-    // idempotent: a session that already IS the latency child (the stream
-    // itself runs on one — see start()) must not spawn a grandchild
-    val s =
-      if (spark.conf.getOption(LatencyMark).contains("true")) spark
-      else latencySessions.synchronized {
-        Option(latencySessions.get(spark)).getOrElse {
-          val c = spark.newSession()
-          c.conf.set(LatencyMark, "true")
-          latencySessions.put(spark, c)
-          c
-        }
-      }
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    // Driver-side file listing up to 4096 paths (default threshold 32):
-    // at micro-batch cadence the distributed listing JOB is ~0.3 s of pure
-    // scheduling — 3× the listing itself — and it fires twice per batch
-    // (file source enumerating arrivals, store probe enumerating
-    // batch=*/sbucket=* leaf dirs, both ≫ 32 paths). A local/HDFS
-    // listStatus is ~ms per directory, so 4096 driver-side listings stay
-    // ≪ one job's scheduling cost; an object-store deployment with
-    // slow per-dir RPC should lower this back down.
-    s.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.min(spark.sparkContext.defaultParallelism, math.max(2, nFiles)).toString)
-    s
-  }
+  // Driver-side file listing up to 4096 paths (default threshold 32):
+  // at micro-batch cadence the distributed listing JOB is ~0.3 s of pure
+  // scheduling — 3× the listing itself — and it fires twice per batch
+  // (file source enumerating arrivals, store probe enumerating
+  // batch=*/sbucket=* leaf dirs, both ≫ 32 paths). A local/HDFS
+  // listStatus is ~ms per directory, so 4096 driver-side listings stay
+  // ≪ one job's scheduling cost; an object-store deployment with
+  // slow per-dir RPC should lower this back down.
+  private val ListingThreshold = 4096
+  private def latencySession(spark: SparkSession, nFiles: Int): SparkSession =
+    graft.GraftSession.child(spark, "stream-latency", aqe = false,
+      shufflePartitions = Some(
+        math.min(spark.sparkContext.defaultParallelism, math.max(2, nFiles))),
+      listingThreshold = Some(ListingThreshold))
 
   /** One micro-batch: rank new files after everything already seen, chunk,
     * probe the earlier-batch store, overwrite this batch's store/stats
@@ -299,7 +283,16 @@ object StreamingEngine {
       .collect().map(_.getString(0).replaceFirst("^file:", ""))
     if (headPaths.isEmpty) return
     val small = headPaths.length <= MaxWindowRankFiles
-    val sess = if (small) latencySession(spark, headPaths.length) else spark
+    // Large backfills must NOT inherit the latency posture this batch's
+    // session may carry (the stream runs ON the latency child, whose last
+    // micro-batch can have left shuffle.partitions as low as 2): a
+    // million-file backfill wants AQE back on (skew/coalesce rescue) and
+    // full-width shuffles, so it runs on its own default-posture child.
+    val sess =
+      if (small) latencySession(spark, headPaths.length)
+      else graft.GraftSession.child(spark, "stream-backfill", aqe = true,
+        shufflePartitions = Some(spark.sparkContext.defaultParallelism),
+        listingThreshold = Some(ListingThreshold))
     val ranked: org.apache.spark.sql.Dataset[(String, Int)] =
       if (small) {
         val pairs = headPaths.sortBy(_.getBytes("UTF-8"))(Utf8Order).zipWithIndex
@@ -369,10 +362,15 @@ object StreamingEngine {
     * rollup, same shape as the batch engine's output).
     */
   def statsRollup(spark: SparkSession, statsDir: String): DataFrame = {
-    // same latency posture as the micro-batches: the rollup reads a few
-    // dozen small per-batch files, so AQE's per-stage jobs and the
-    // distributed listing job are pure overhead at this size
-    val sess = latencySession(spark, spark.sparkContext.defaultParallelism)
+    // same latency POSTURE as the micro-batches (AQE off, driver-side
+    // listing — the rollup reads a few dozen small per-batch files), but a
+    // SEPARATE child: sharing the micro-batch child's mutable SQLConf
+    // raced a rollup invoked mid-stream against a batch planning on the
+    // same session (round-7 advice) — distinct tags give distinct
+    // sessions, so neither resizes the other's shuffles.
+    val sess = graft.GraftSession.child(spark, "stream-stats", aqe = false,
+      shufflePartitions = Some(spark.sparkContext.defaultParallelism),
+      listingThreshold = Some(ListingThreshold))
     Stats.rollup(sess.read.option("basePath", statsDir).parquet(statsDir)
       .drop("batch_id"))
   }

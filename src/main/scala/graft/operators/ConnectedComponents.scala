@@ -159,14 +159,14 @@ object ConnectedComponents {
     // The loop wants AQE off (per-stage re-planning turns every round into
     // several sequential driver round-trips) and subgraph-sized shuffle
     // partitions. Setting those on the caller's session would RACE any
-    // concurrent query sharing it, so the loop runs on a cloned child
-    // session: same SparkContext (same executors, same checkpoint blocks),
-    // private SQLConf. DataFrames cross the boundary via their
-    // checkpointed RDDs.
-    val loop = s.newSession()
-    loop.conf.set("spark.sql.adaptive.enabled", "false")
-    loop.conf.set("spark.sql.shuffle.partitions",
-      Math.min(200L, Math.max(8L, n / 250000L)).toString)
+    // concurrent query sharing it, so the loop runs on a posture child
+    // ([[graft.GraftSession.child]] — same SparkContext/executors/
+    // checkpoint blocks, private SQLConf; sizing is re-applied per call, so
+    // a previous subgraph's partition count never leaks into this one).
+    // DataFrames cross the boundary via their checkpointed RDDs.
+    val loop = graft.GraftSession.child(s, "cc-loop", aqe = false,
+      shufflePartitions =
+        Some(Math.min(200L, Math.max(8L, n / 250000L)).toInt))
     def inLoop(e: DataFrame): DataFrame = loop.createDataFrame(e.rdd, e.schema)
     // map-side pre-contraction: start the loop from locally-collapsed stars
     var cur = inLoop(preContract(edges).localCheckpoint(true))

@@ -229,9 +229,9 @@ object VectorQueries {
        |WHERE rank <= $TopK""".stripMargin
   }
 
-  /** AQE-off child session for the vector pack, memoized per parent (same
-    * SparkContext/executors, private SQLConf — the StreamingEngine
-    * latency-session pattern). AQE materializes every query stage as its
+  /** AQE-off child session for the vector pack
+    * ([[graft.GraftSession.child]], tag [[DenseTag]] — the consolidated
+    * posture helper). AQE materializes every query stage as its
     * own job with a full barrier; the iterative IVF/LSH queries here are
     * ~60-stage plans of sub-second CPU-dense stages, so the barriers — not
     * flops — dominated wall time once scoring was norm-factored (measured
@@ -242,17 +242,9 @@ object VectorQueries {
     * hint. The third engine-specific AQE finding after SCALE.md's
     * byte-coalescing and listing-job entries.
     */
-  private val denseSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private[graft] val DenseTag = "vector-dense"
   private def denseSession(spark: SparkSession): SparkSession =
-    denseSessions.synchronized {
-      Option(denseSessions.get(spark)).getOrElse {
-        val c = spark.newSession()
-        c.conf.set("spark.sql.adaptive.enabled", "false")
-        denseSessions.put(spark, c)
-        c
-      }
-    }
+    graft.GraftSession.child(spark, DenseTag, aqe = false)
 
   private def registerEmbeddings(s: SparkSession, d: String): SparkSession = {
     // dense entry: every query here does per-cell/per-plane kernel math

@@ -24,13 +24,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "head plan must not evaluate a kernel inside a Filter")
 
     // re-enable the rule (runtime conf) and re-plan: the inferred
-    // size/isnotnull guard re-appears with the kernel substituted in
+    // size/isnotnull guard re-appears with the kernel substituted in.
+    // Restore the VALUE SAVED before mutating, not a hard-coded list — the
+    // memoized session outlives this test, and a stale restore would leak
+    // into every later suite in the JVM if GraftSession's exclusions grow.
+    val saved = spark.conf.get("spark.sql.optimizer.excludedRules")
     spark.conf.set("spark.sql.optimizer.excludedRules", "")
     try {
       val badPlan = spark.sql(sql).queryExecution.executedPlan.toString
       assert(PlanAudit.kernelFilterFlag(badPlan),
         s"gate failed to flag the regressed plan:\n${badPlan.take(2000)}")
-    } finally spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    } finally spark.conf.set("spark.sql.optimizer.excludedRules", saved)
   }
 }
