@@ -60,13 +60,62 @@ object PlanAudit {
         KernelNames.exists(t.contains)
     }
 
+  /** Catalyst also substitutes kernel expressions into JOIN conditions when
+    * pushing predicates like `cos >= t` into the pair join (the d22
+    * levenshtein behavior, round 7) — a kernel evaluated per JOINED pair in
+    * the condition AND again in the project above, or sunk below an
+    * exchange inside the condition, which the Filter-only gate missed.
+    * Queries whose SEMANTICS are a per-candidate-pair kernel predicate
+    * (e04/e05's cosine-threshold verify — the kernel must run per pair
+    * either way, and the probed plans show it stays above the spread)
+    * are whitelisted in [[JoinKernelAllowed]]; a kernel appearing in any
+    * OTHER query's join condition is a regression.
+    */
+  private[graft] val JoinKernelAllowed =
+    Set("e04_cosine_neardup_pairs", "e05_semantic_dedup")
+  private[graft] def kernelJoinFlag(plan: String): Boolean =
+    plan.linesIterator.exists { l =>
+      val t = l.trim
+      t.contains("Join") && KernelNames.exists(t.contains)
+    }
+
+  /** Dense-kernel-above-spread contract (`Tables.spread`): a dense kernel
+    * projection must sit ABOVE a round-robin exchange, so the kernel pass
+    * runs at rows-sized width instead of the raw scan's row-group-bound
+    * 1-2 tasks (the round-7 1000× finding — hours of serial compute for a
+    * ~40 s parallel stage). In tree text a parent prints above its child,
+    * so the FIRST kernel-bearing line must precede the LAST round-robin
+    * exchange; a plan whose spread vanished (no RoundRobinPartitioning) or
+    * whose kernel all sits below every exchange fails. Plans with no
+    * kernel at all (e06's arithmetic-only quantizer) pass vacuously.
+    */
+  private[graft] def kernelAboveSpreadOk(plan: String): Boolean = {
+    val lines = plan.linesIterator.toIndexedSeq
+    val ks = lines.indices.filter(i => KernelNames.exists(lines(i).contains))
+    if (ks.isEmpty) true
+    else {
+      val rr = lines.indices.filter(lines(_).contains("RoundRobinPartitioning"))
+      rr.nonEmpty && ks.min < rr.max
+    }
+  }
+
+  /** Vector-pack execution posture: e01–e07 must run on the AQE-off dense
+    * child session (round 7 measured AQE's per-stage barriers at ~2× wall
+    * time family-wide on these ~60-stage sub-second-stage plans). A
+    * silent fallback to the AQE-on parent plans an AdaptiveSparkPlan root —
+    * gate it, don't trust the session wiring.
+    */
+  private[graft] def vectorAqeOff(plan: String): Boolean =
+    !plan.contains("AdaptiveSparkPlan")
+
   /** Join red flags + top-level ReadSchema field counts of one plan. */
   private def inspect(plan: String): (Seq[String], Seq[Int]) = {
     val flags = Seq(
       "NLJ" -> plan.contains("BroadcastNestedLoopJoin"),
       "CARTESIAN" -> plan.contains("CartesianProduct"),
       "SMJ" -> plan.contains("SortMergeJoin"),
-      "KERNEL_FILTER" -> kernelFilterFlag(plan)
+      "KERNEL_FILTER" -> kernelFilterFlag(plan),
+      "KERNEL_JOIN" -> kernelJoinFlag(plan)
     ).collect { case (f, true) => f }
     // count TOP-LEVEL fields of each ReadSchema (nested array<>/struct<>
     // types must not truncate the match or inflate the count)
@@ -114,10 +163,20 @@ object PlanAudit {
            else Seq.empty) ++
             streamGates.collect {
               case (q, desc, pred) if q == name && !pred(combined) => desc
-            }
+            } ++
+            // execution-posture gates for the vector pack (round 8): the
+            // dense-session wiring and the spread contract are perf wins an
+            // innocent refactor can silently lose — hard-fail, don't print
+            (if (name.startsWith("e0") && !vectorAqeOff(plan))
+               Seq("vector-pack query planned under AQE (dense child session lost)")
+             else Seq.empty) ++
+            (if (name.startsWith("e0") && !kernelAboveSpreadOk(plan))
+               Seq("dense kernel not above a round-robin spread exchange")
+             else Seq.empty)
         val unexpected = (flags.contains("CARTESIAN")
           || (flags.contains("NLJ") && name != "e01_cosine_topk")
           || flags.contains("KERNEL_FILTER")
+          || (flags.contains("KERNEL_JOIN") && !JoinKernelAllowed(name))
           || gateFails.nonEmpty)
         if (unexpected) bad += 1
         val streamNote =

@@ -119,6 +119,53 @@ object TextQueries {
     df.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
 
+  /** Version tag baked into the persistent fingerprint exports' content
+    * key: bump when shingling, the minhash family, or the global shingle
+    * order changes, so a previous round's on-disk table can never silently
+    * serve stale fingerprints.
+    */
+  private val FingerprintVersion = "fp-v1"
+  private def fpCorpusKey(s: SparkSession, d: String): String =
+    graft.cawd.CawdExport.corpusContentKey(s, Seq(s"$d/documents.parquet"),
+      FingerprintVersion)
+
+  /** Globally-ranked shingle table (doc_id, s, rnk, n) — each doc's
+    * distinct 3-gram shingles under the PPJoin global order (document
+    * frequency asc, then shingle) with the doc's shingle count — persisted
+    * ACROSS sessions keyed by the corpus content hash (the round-7 media
+    * export pattern). The table is a pure function of the documents corpus
+    * and it feeds FOUR near-dup pipelines (d05 prefix+verify, d06/d10/d22
+    * shingle sets and minhash input), so a real pipeline materializes the
+    * shingle pass once per corpus instead of once per query per JVM —
+    * round-7 profiling (D22Probe) measured candidate GENERATION, not
+    * verification, as ~80% of d22's 100× cost, and d06 recomputed the
+    * identical tables. Validity is decided by the content key (corpus hash
+    * + [[FingerprintVersion]]), never by session lifetime.
+    */
+  private[queries] def rankedShingles(s: SparkSession, d: String): DataFrame =
+    graft.cawd.CawdExport.materializePersistentDf(s, d, "shingle_rank",
+      fpCorpusKey(s, d), {
+        val sh = docShingles(documentsDense(s, d))
+        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        // rnk and n come from two window functions over the same doc_id
+        // distribution, so the build shuffles the shingle set exactly once
+        val w = Window.partitionBy(col("doc_id"))
+        sh.join(dfreq, "s")
+          .select(col("doc_id"), col("s"),
+            row_number().over(w.orderBy(col("df"), col("s"))).as("rnk"),
+            count(lit(1)).over(w).as("n"))
+      })
+
+  /** MinHash LSH band table (doc_id, band, bkey), persisted per corpus
+    * like [[rankedShingles]] (which it derives from, sharing the one
+    * shingle pass). d06, d10 and d22 all consume THIS table for candidate
+    * generation — one fingerprint build per corpus, three pipelines.
+    */
+  private[queries] def minhashBandsOf(s: SparkSession, d: String): DataFrame =
+    graft.cawd.CawdExport.materializePersistentDf(s, d, "minhash_bands",
+      fpCorpusKey(s, d),
+      minhashBands(rankedShingles(s, d).select(col("doc_id"), col("s"))))
+
   /** (doc_id, band, bkey) minhash LSH band keys from a (doc_id, s) shingle
     * set. One shingle explode, k min aggregates, band concat — the at-scale
     * shape.
@@ -144,7 +191,9 @@ object TextQueries {
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      .cache() // both sides of the candidate self-join
+    // no cache: the only caller is the [[minhashBandsOf]] persistent-export
+    // builder, which writes the table to parquet once per corpus — the
+    // band self-joins downstream read the parquet, not this plan
   }
 
   /** Exact pairwise Jaccard over a cached (doc_id, s) shingle set
@@ -326,20 +375,11 @@ object TextQueries {
     // scale) almost never generate candidates — yet the result set is
     // PROVABLY identical to the all-pairs definition the oracle computes.
     "d05_ngram_jaccard_pairs" -> ((s, d) => {
-      val df = documentsDense(s, d)
-      val sh = docShingles(df).cache() // feeds dfreq + the ranked build
-      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      // ONE materialization serves every downstream role (prefix candidates,
-      // both verify sides, set sizes): rnk and n come from two window
-      // functions over the same doc_id distribution, so the plan shuffles
-      // the shingle set exactly once — the old shape paid a separate sizes
-      // aggregate plus two sizes joins inside the generic verifier
-      val w = Window.partitionBy(col("doc_id"))
-      val ranked = sh.join(dfreq, "s")
-        .select(col("doc_id"), col("s"),
-          row_number().over(w.orderBy(col("df"), col("s"))).as("rnk"),
-          count(lit(1)).over(w).as("n"))
-        .cache()
+      // ONE persisted table serves every downstream role (prefix
+      // candidates, both verify sides, set sizes) — see [[rankedShingles]]:
+      // the shingle+dfreq+window build is paid once per CORPUS, and within
+      // this query every branch reads the same parquet
+      val ranked = rankedShingles(s, d)
       // n - floor(t*n) + 1 >= the exact bound n - ceil(t*n) + 1 for every
       // n (equal when t*n is integral, one longer otherwise) and immune to
       // double ceil() overshoot (ceil(15*0.8) = 13 in floating point)
@@ -396,8 +436,8 @@ object TextQueries {
 
     // MinHash+LSH: banded candidates → exact-Jaccard verification.
     "d06_minhash_lsh_pairs" -> ((s, d) => {
-      val sh = docShingles(documentsDense(s, d)).cache() // bands + both verify sides
-      val bands = minhashBands(sh)
+      val sh = rankedShingles(s, d).select(col("doc_id"), col("s"))
+      val bands = minhashBandsOf(s, d)
       val cands = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -446,9 +486,8 @@ object TextQueries {
     // diameter; at web scale swap in alternating large-star/small-star,
     // same per-iteration plan shape (join + min-aggregate).
     "d10_neardup_clusters" -> ((s, d) => {
-      val df = documentsDense(s, d)
-      val sh = docShingles(df).cache() // bands + both verify sides
-      val bands = minhashBands(sh)
+      val sh = rankedShingles(s, d).select(col("doc_id"), col("s"))
+      val bands = minhashBandsOf(s, d)
       val cands = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -468,7 +507,7 @@ object TextQueries {
       val nodes = pairs.select(col("ida").as("doc_id"))
         .unionByName(pairs.select(col("idb").as("doc_id"))).distinct().cache()
       val labels = graft.operators.ConnectedComponents.minLabels(pairs)
-      df.select(col("doc_id"))
+      documents(s, d).select(col("doc_id"))
         .join(nodes, Seq("doc_id"), "left_anti")
         .withColumn("label", col("doc_id"))
         .unionByName(labels)
@@ -756,8 +795,10 @@ object TextQueries {
     // compared prefix or switch to a bit-parallel Myers kernel.
     "d22_editdist_pairs" -> ((s, d) => {
       val df = documents(s, d)
-      val sh = docShingles(df).cache() // feeds the banded self-join twice
-      val bands = minhashBands(sh)
+      // shared per-corpus fingerprint table: round-7 attribution (D22Probe)
+      // put ~80% of d22's 100× cost in minhash GENERATION that d06 was
+      // recomputing identically — both now read [[minhashBandsOf]]
+      val bands = minhashBandsOf(s, d)
       val cands = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -26,19 +26,42 @@ object VectorQueries {
 
   val TopK = 5
   val TopKBands = 16       // e02 OR-construction: base band-table count ...
-  /** e02 band-table cap. Bands grow 16 + 8·(np−4) with the adaptive
-    * planes/band, because per-band true-neighbor collision ~p^np decays as
-    * np tracks log(N) — LSH holds recall by adding hash tables. The cap
-    * bounds index cost (N·nb rows); 64 held through three decades but the
-    * 1000× gate (N = 50 M, np = 21) measured recall@5 0.726 vs the 0.75
-    * floor — the first scale where Hamming-1 multi-probe plus 64 tables
-    * can't cover p^21. From the measured per-band hit rate there
-    * (q = 1−(1−0.726)^(1/64) ≈ 0.020), 128 tables give ≈ 1−(1−q)^128 ≈
-    * 0.92 — margin for another decade of np growth (np itself caps at 24,
-    * after which q stabilizes). Index cost at np ≥ 18 doubles vs the old
-    * cap; candidates per probe stay ~nb·occupancy·(np+1), occupancy-bounded.
+  /** e02 band-table SCHEDULE, fitted from the gate-measured collision
+    * model — the round-8 replacement for the hand-bumped cap that the
+    * 1000× gate caught decaying (64 tables → recall 0.726 < the 0.75
+    * floor; a constant bump to 128 recovered 0.899 but would decay again
+    * a decade later, exactly like the fixed IVF nprobe did before its
+    * C^0.65 schedule).
+    *
+    * Model: recall ≈ 1 − (1 − q(np))^nb with q(np) the per-band
+    * true-neighbor hit rate under Hamming-1 multi-probe. Two measured
+    * anchors back out q: at np = 18 (100× corpus, N = 5 M) 64 tables gave
+    * 0.894 ⇒ q(18) = 1 − (1−0.894)^(1/64) ≈ 0.0344; at np = 21 (1000×,
+    * N = 50 M) 128 tables gave 0.899 ⇒ q(21) ≈ 0.0178. That is a measured
+    * decay of (q21/q18)^(1/3) ≈ 0.80 per added plane — consistent with the
+    * analytic q ≈ p^np·(1 + np·(1−p)/p) at p ≈ 0.75, whose per-plane ratio
+    * p·(1 + (np+1)(1−p)/p)/(1 + np(1−p)/p) ≈ 0.78. Holding a DESIGN
+    * recall of 0.9 (margin over the 0.75 floor) needs
+    * nb(np) = ln(0.1)/−ln(1−q(np)) ≈ 129 at np = 21, growing by
+    * 1/0.80 ≈ 1.25 per plane; the committed base 4/3 sits above both the
+    * measured 1.25 and analytic 1.28 ratios — the same
+    * margin-over-the-fit posture as IVF's 0.65-vs-fitted-0.6 exponent.
+    *
+    *   nb(np) = max(16 + 8·(np−4),  ⌈130 · (4/3)^(np−21)⌉)
+    *
+    * The legacy linear term FLOORS the schedule below the np = 21 anchor
+    * (it over-provisions vs the model there — e.g. 128 at np = 18 where 66
+    * suffice — keeping every committed sub-1000× recall row reproducible);
+    * the exponential takes over at np ≥ 22. No cap constant remains: np
+    * itself saturates at 24 (bucket-occupancy rule), so the schedule is
+    * bounded at nb(24) = ⌈130·(4/3)³⌉ = 309. Projection for 10⁹–10¹⁰
+    * vectors (np pinned at 24, q stabilized ≈ 0.011 by the model): recall
+    * holds ≈ 1−(1−q)^309 ≈ 0.97 on this corpus shape while index cost is
+    * N·309 rows and per-probe candidate work stays nb·occupancy·(np+1) —
+    * what keeps growing is occupancy N/2²⁴ per bucket, i.e. candidate
+    * volume, the standard LSH precision trade at fixed np.
     */
-  val TopKBandsMax = 128
+  val TopKBandsCeil = 309  // nb(npMax = 24) — plane-generation bound only
   /** IVF probe floor: nprobe = max(this, ceil(1.3·C^0.65)) with
     * C = ceil(√N) cells. A FIXED nprobe decays with scale on an isotropic
     * corpus — a query's true neighbors spread over more cells as C grows
@@ -174,9 +197,9 @@ object VectorQueries {
     // Multi-probe OR-construction (Lv et al. 2007, "Multi-Probe LSH"):
     // each probe also looks in the np one-bit-flip neighbor buckets of its
     // band signature. Rationale: np grows log(N) to hold bucket occupancy,
-    // but the band count caps at TopKBandsMax — so a true neighbor's
-    // per-band collision probability p^np decays with scale and the capped
-    // OR-construction cannot buy it back (measured: recall@5 0.823 at
+    // and a true neighbor's per-band collision probability p^np therefore
+    // decays with scale faster than the band schedule alone affordably
+    // buys back (measured: recall@5 0.823 at
     // C(2 k vectors, np=6) collapsing to 0.557 at 20 k, np=10). Probing
     // the Hamming-1 buckets multiplies per-band hit probability by
     // ~(1 + np·(1−p)/p) at (np+1)× probe-side cost — and ONLY probe-side
@@ -205,8 +228,9 @@ object VectorQueries {
            |  FROM qprobe, UNNEST(range(0, np)) AS t(k)""".stripMargin
     s"""WITH $QmodCte,
        |${bandedCtes(spark,
-          s"least($TopKBandsMax, $TopKBands + 8 * greatest(0, np - $NdPlanesPerBand))",
-          TopKBandsMax, NdPlanesPerBand, "q2:")},
+          s"greatest($TopKBands + 8 * greatest(0, np - $NdPlanesPerBand), " +
+            "CAST(ceil(130.0 * power(4.0/3.0, np - 21) - 1e-9) AS INT))",
+          TopKBandsCeil, NdPlanesPerBand, "q2:")},
        |qprobe AS (
        |  SELECT vec_id, band, bucket, (SELECT np FROM nparams) AS np
        |  FROM bandbuckets WHERE $ProbeFilter),

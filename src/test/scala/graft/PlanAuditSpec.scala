@@ -36,4 +36,51 @@ class PlanAuditSpec extends AnyFunSuite {
         s"gate failed to flag the regressed plan:\n${badPlan.take(2000)}")
     } finally spark.conf.set("spark.sql.optimizer.excludedRules", saved)
   }
+
+  test("vector AQE gate: real e02 passes, an injected AQE-on plan fails") {
+    val spark = GraftSession.get("plan-audit-spec")
+    val good = SparkEntry.queries("e02_lsh_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(PlanAudit.vectorAqeOff(good),
+      "e02 must plan on the AQE-off dense child session")
+    // injected regression: the same dense query planned on the AQE-on
+    // parent session roots an AdaptiveSparkPlan
+    Tables.embeddingsDense(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("embeddings")
+    val bad = spark.sql(
+      "SELECT vec_id, sign_lsh_buckets(embedding, 4, 8, 'q2:') AS bks FROM embeddings")
+      .queryExecution.executedPlan.toString
+    assert(!PlanAudit.vectorAqeOff(bad),
+      "gate failed to flag an AQE-on vector plan")
+  }
+
+  test("spread gate: kernel over the dense view passes, spread removed fails") {
+    val spark = GraftSession.get("plan-audit-spec")
+    val sql =
+      "SELECT vec_id, sign_lsh_buckets(embedding, 4, 8, 'q2:') AS bks FROM embeddings"
+    Tables.embeddingsDense(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("embeddings")
+    val good = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(PlanAudit.kernelAboveSpreadOk(good))
+    // injected regression: same kernel over the RAW table — no round-robin
+    // exchange, so the kernel pass is row-group-bound at the scan
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("embeddings")
+    val bad = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(!PlanAudit.kernelAboveSpreadOk(bad),
+      "gate failed to flag a spread-removed dense plan")
+    // kernel-free plans pass vacuously (e06's arithmetic-only quantizer)
+    assert(PlanAudit.kernelAboveSpreadOk("Project [a]\n+- FileScan parquet"))
+  }
+
+  test("join-condition kernel gate: fires on a kernel in a join condition") {
+    // string-level predicate (the probed e04/e05 shape); the whitelist is
+    // exercised by PlanAudit's main over the real suite
+    val joined = "*(9) BroadcastHashJoin [idb], [vec_id], Inner, BuildRight, " +
+      "(round((dot_product(embedding, embedding) / nrm), 6) >= 0.4)"
+    assert(PlanAudit.kernelJoinFlag(joined))
+    assert(!PlanAudit.kernelJoinFlag(
+      "*(9) BroadcastHashJoin [idb], [vec_id], Inner, BuildRight"))
+    assert(PlanAudit.JoinKernelAllowed("e04_cosine_neardup_pairs"))
+  }
 }
