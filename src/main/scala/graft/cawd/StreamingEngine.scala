@@ -64,10 +64,29 @@ object StreamingEngine {
   /** Write one store partition bucketed by signature: `dir/sbucket=K/...`.
     * Overwrite replaces the whole `batch=N` directory — retry-safe, same as
     * the previous flat layout.
+    *
+    * `clusterBuckets`: `partitionBy` makes every WRITE TASK open a file in
+    * every bucket directory it touches, so a bulk write at W tasks × 256
+    * buckets lands W·256 near-empty files — and every later probe pays
+    * that file count in listing and footer reads (measured at a
+    * 10⁶-signature bulk store: 8 192 files, first probe 33 s of which the
+    * scan itself was ~4 s). Bulk writers (compaction, store bootstrap)
+    * pass `true` to repartition ON the bucket value first — one shuffle of
+    * the rows being written, ≤ [[NumSigBuckets]] output files. Micro-batch
+    * writes keep the default no-shuffle path: their file count is bounded
+    * by the batch's own (small) miss count, the extra stage is exactly the
+    * per-batch latency round 7 fought to remove, and compaction folds
+    * their files away in steady state.
     */
-  def writeStorePartition(df: DataFrame, dir: String): Unit =
-    df.withColumn(SigBucketCol, sigBucket(col("signature")))
-      .write.mode("overwrite").partitionBy(SigBucketCol).parquet(dir)
+  def writeStorePartition(df: DataFrame, dir: String,
+                          clusterBuckets: Boolean = false): Unit = {
+    val withBucket = df.withColumn(SigBucketCol, sigBucket(col("signature")))
+    val arranged =
+      if (clusterBuckets)
+        withBucket.repartition(NumSigBuckets, col(SigBucketCol))
+      else withBucket
+    arranged.write.mode("overwrite").partitionBy(SigBucketCol).parquet(dir)
+  }
 
   /** Explicit store schema: a batch with zero misses still writes its
     * (empty) partition, and schema INFERENCE over a partition holding only
@@ -149,7 +168,10 @@ object StreamingEngine {
       .select(StoreCols.map(col): _*)
       .dropDuplicates("signature")
       .localCheckpoint(true) // sever lineage from the files about to vanish
-    writeStorePartition(merged, s"$storeDir/batch=$mergeInto")
+    // clustered: the compacted partition is the store's steady-state bulk,
+    // read by every future probe — one file per bucket, not tasks×buckets
+    writeStorePartition(merged, s"$storeDir/batch=$mergeInto",
+      clusterBuckets = true)
     mergeIds.filter(_ != mergeInto).foreach { b =>
       fs.delete(new Path(p, s"batch=$b"), true)
     }
