@@ -29,39 +29,48 @@ object VectorQueries {
   /** e02 band-table SCHEDULE, fitted from the gate-measured collision
     * model — the round-8 replacement for the hand-bumped cap that the
     * 1000× gate caught decaying (64 tables → recall 0.726 < the 0.75
-    * floor; a constant bump to 128 recovered 0.899 but would decay again
-    * a decade later, exactly like the fixed IVF nprobe did before its
-    * C^0.65 schedule).
+    * floor; a constant bump recovered 0.899 but would decay again a decade
+    * later, exactly like the fixed IVF nprobe did before its C^0.65
+    * schedule).
     *
-    * Model: recall ≈ 1 − (1 − q(np))^nb with q(np) the per-band
-    * true-neighbor hit rate under Hamming-1 multi-probe. Two measured
-    * anchors back out q: at np = 18 (100× corpus, N = 5 M) 64 tables gave
-    * 0.894 ⇒ q(18) = 1 − (1−0.894)^(1/64) ≈ 0.0344; at np = 21 (1000×,
-    * N = 50 M) 128 tables gave 0.899 ⇒ q(21) ≈ 0.0178. That is a measured
-    * decay of (q21/q18)^(1/3) ≈ 0.80 per added plane — consistent with the
-    * analytic q ≈ p^np·(1 + np·(1−p)/p) at p ≈ 0.75, whose per-plane ratio
-    * p·(1 + (np+1)(1−p)/p)/(1 + np(1−p)/p) ≈ 0.78. Holding a DESIGN
-    * recall of 0.9 (margin over the 0.75 floor) needs
-    * nb(np) = ln(0.1)/−ln(1−q(np)) ≈ 129 at np = 21, growing by
-    * 1/0.80 ≈ 1.25 per plane; the committed base 4/3 sits above both the
-    * measured 1.25 and analytic 1.28 ratios — the same
+    * Corpus-size correction first (round 8, E02NbProbe): the gate corpora
+    * hold N = 200 k (100×, np = 13) and N = 2 M (1000×, np = 16) vectors —
+    * round 7's notes said 5 M/50 M, which mis-located the anchors. The
+    * measured anchors are:
+    *   - np = 13, 64 tables → recall 0.894 ⇒ q(13) = 1−(1−0.894)^(1/64)
+    *     ≈ 0.0344;
+    *   - np = 16, 64 tables → 0.726 ⇒ q(16) ≈ 0.0200;
+    *   - np = 16, 112 tables → 0.899 ⇒ q(16) ≈ 0.0203 — the SAME q from
+    *     an independent table count, so recall ≈ 1−(1−q(np))^nb holds to
+    *     three digits and the model is trustworthy for sizing.
+    * Per added plane, q decays by (q16/q13)^(1/3) ≈ 0.837 measured
+    * (analytic q ≈ p^np·(1+np(1−p)/p) puts the effective p ≈ 0.84 and the
+    * ratio ≈ 0.87–0.88 — close, slightly flatter). Holding the DESIGN
+    * recall 0.9 (margin over the 0.75 floor) needs nb(16) =
+    * ln(0.1)/−ln(1−0.0203) ≈ 113, growing by 1/0.837 ≈ 1.195 per plane;
+    * the committed growth 1.25 sits above the measured fit — the same
     * margin-over-the-fit posture as IVF's 0.65-vs-fitted-0.6 exponent.
     *
-    *   nb(np) = max(16 + 8·(np−4),  ⌈130 · (4/3)^(np−21)⌉)
+    *   nb(np) = max(16 + 8·(np−4),  ⌈113 · 1.25^(np−16)⌉)
     *
-    * The legacy linear term FLOORS the schedule below the np = 21 anchor
-    * (it over-provisions vs the model there — e.g. 128 at np = 18 where 66
-    * suffice — keeping every committed sub-1000× recall row reproducible);
-    * the exponential takes over at np ≥ 22. No cap constant remains: np
-    * itself saturates at 24 (bucket-occupancy rule), so the schedule is
-    * bounded at nb(24) = ⌈130·(4/3)³⌉ = 309. Projection for 10⁹–10¹⁰
-    * vectors (np pinned at 24, q stabilized ≈ 0.011 by the model): recall
-    * holds ≈ 1−(1−q)^309 ≈ 0.97 on this corpus shape while index cost is
-    * N·309 rows and per-probe candidate work stays nb·occupancy·(np+1) —
-    * what keeps growing is occupancy N/2²⁴ per bucket, i.e. candidate
-    * volume, the standard LSH precision trade at fixed np.
+    * The legacy linear term floors the schedule at np ≤ 15 (it
+    * over-provisions slightly vs the model there, keeping every committed
+    * sub-1000× recall row reproducible); the fitted exponential takes over
+    * from the np = 16 anchor up. No cap constant remains: np itself
+    * saturates at 24 (the bucket-occupancy rule), bounding the schedule at
+    * nb(24) = ⌈113·1.25⁸⌉ = 674. Projection for 10⁹–10¹⁰ vectors (np
+    * pinned at 24): q ≈ 0.0203·0.837⁸ ≈ 0.0049 measured-decay ⇒ design-0.9
+    * recall costs ~470–674 tables (fit vs margin) and the gate FLOOR 0.75
+    * still needs ≈ 290 — i.e. the model says honest sign-LSH at 0.9 recall
+    * on an ISOTROPIC corpus (the adversarial no-structure case) costs
+    * hundreds of hash tables at 10⁹⁺ vectors. That cost cliff is exactly
+    * why the engine carries the IVF family (e03/e07, probe schedule
+    * validated across four decades) as the primary 10⁹⁺ path; e02's
+    * schedule keeps LSH honest rather than cheap. Real embedding corpora
+    * are clustered (higher p), which flattens q's decay and shrinks nb —
+    * the isotropic fit is the worst case.
     */
-  val TopKBandsCeil = 309  // nb(npMax = 24) — plane-generation bound only
+  val TopKBandsCeil = 674  // nb(npMax = 24) — plane-generation bound only
   /** IVF probe floor: nprobe = max(this, ceil(1.3·C^0.65)) with
     * C = ceil(√N) cells. A FIXED nprobe decays with scale on an isotropic
     * corpus — a query's true neighbors spread over more cells as C grows
@@ -229,7 +238,7 @@ object VectorQueries {
     s"""WITH $QmodCte,
        |${bandedCtes(spark,
           s"greatest($TopKBands + 8 * greatest(0, np - $NdPlanesPerBand), " +
-            "CAST(ceil(130.0 * power(4.0/3.0, np - 21) - 1e-9) AS INT))",
+            "CAST(ceil(113.0 * power(1.25, np - 16) - 1e-9) AS INT))",
           TopKBandsCeil, NdPlanesPerBand, "q2:")},
        |qprobe AS (
        |  SELECT vec_id, band, bucket, (SELECT np FROM nparams) AS np
