@@ -7,6 +7,16 @@ import graft.Tables._
 
 /** Relational / aggregation query pack.
   *
+  * Per-job shuffle sizing: [[sizedForInput]] below runs a query on a
+  * [[graft.GraftSession.child]] whose `spark.sql.shuffle.partitions`
+  * follows the compressed bytes of the table feeding its dominant
+  * exchange (32 MB per partition — the same budget as the scan splits),
+  * floored at the core count. GraftSession pins a cores-sized constant
+  * session-wide because AQE's byte-targeted coalescing collapses this
+  * engine's CPU-dense small-byte shuffles; queries whose shuffles are
+  * genuinely BIG (q08's near-input-cardinality pair aggregate) are the
+  * other side of that trade and size themselves here.
+  *
   * Mirrors the reference's dataflow-operator semantics (SURVEY.md §2) on the
   * driver corpus: per-group metric rollups (`common/TransferStats.java:49-72`,
   * A1), two-level global rollups (`TransferStats.java:38-47`, A2), exact
@@ -31,6 +41,26 @@ import graft.Tables._
   * same reason.
   */
 object RelationalQueries {
+
+  /** Child session with shuffle partitions sized from the given table's
+    * compressed bytes at 32 MB per partition (min: core count). AQE stays
+    * ON: the estimate is deliberately coarse (compressed input vs wider
+    * shuffle rows), and coalescing/skew-split corrects it at runtime —
+    * these are exactly the big-shuffle plans AQE is good at, unlike the
+    * small-byte CPU-dense plans the session-wide constant protects.
+    */
+  private[queries] def sizedForInput(s: SparkSession, tag: String,
+                                     d: String, table: String): SparkSession = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val parts = math.max(s.sparkContext.defaultParallelism.toLong,
+      bytes / (32L * 1024 * 1024)).toInt
+    graft.GraftSession.child(s, tag, aqe = true,
+      shufflePartitions = Some(parts))
+  }
 
   private def dec(c: Column, t: String = "decimal(12,2)"): Column = c.cast(t)
 
@@ -133,7 +163,16 @@ object RelationalQueries {
       // with map-side partial combine behind a UNIFORM (suppkey, partkey)
       // exchange — no Expand, no per-key distinct set in memory — and the
       // second shuffle carries one row per distinct pair.
-      lineitem(s, d)
+      //
+      // Shuffle sizing: the (suppkey, partkey) pair exchange carries ~one
+      // row per distinct pair — near the input row count on this corpus —
+      // so the session-wide cores-sized partition constant under-partitions
+      // it at 1000× (600 M pairs / 32 ≈ 450 MB hash-agg per task: spill).
+      // This is the per-job sizing seam GraftSession documents as the
+      // right fix: partitions follow the INPUT BYTES of the table feeding
+      // the shuffle, AQE stays on to coalesce if the estimate overshoots.
+      val s2 = sizedForInput(s, "q08-bigagg", d, "lineitem")
+      lineitem(s2, d)
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(count(lit(1)).as("__pair_n"))
         .groupBy(col("l_suppkey"))
