@@ -142,7 +142,7 @@ object TextQueries {
     * identical tables. Validity is decided by the content key (corpus hash
     * + [[FingerprintVersion]]), never by session lifetime.
     */
-  private[queries] def rankedShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def rankedShingles(s: SparkSession, d: String): DataFrame =
     graft.cawd.CawdExport.materializePersistentDf(s, d, "shingle_rank",
       fpCorpusKey(s, d), {
         val sh = docShingles(documentsDense(s, d))
@@ -161,7 +161,7 @@ object TextQueries {
     * shingle pass). d06, d10 and d22 all consume THIS table for candidate
     * generation — one fingerprint build per corpus, three pipelines.
     */
-  private[queries] def minhashBandsOf(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashBandsOf(s: SparkSession, d: String): DataFrame =
     graft.cawd.CawdExport.materializePersistentDf(s, d, "minhash_bands",
       fpCorpusKey(s, d),
       minhashBands(rankedShingles(s, d).select(col("doc_id"), col("s"))))
