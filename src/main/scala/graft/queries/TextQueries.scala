@@ -166,6 +166,28 @@ object TextQueries {
       fpCorpusKey(s, d),
       minhashBands(rankedShingles(s, d).select(col("doc_id"), col("s"))))
 
+  /** VERIFIED near-dup pair set (ida, idb, jaccard ≥ [[JaccardThreshold]])
+    * — the MinHash-LSH candidate join plus exact-Jaccard verification,
+    * persisted per corpus like the tables it derives from. d06 IS this
+    * table; d10 is connected components OVER it — recomputing the verify
+    * join per query re-paid the corpus's second-most-expensive shuffle
+    * (measured 1000×: d10 spent ~60 s re-verifying pairs d06 had just
+    * written). The threshold is baked into the content key, so retuning
+    * it rebuilds rather than silently serving pairs at the old cut.
+    */
+  private[graft] def neardupPairs(s: SparkSession, d: String): DataFrame =
+    graft.cawd.CawdExport.materializePersistentDf(s, d, "neardup_pairs",
+      fpCorpusKey(s, d) + s":j=$JaccardThreshold", {
+        val sh = rankedShingles(s, d).select(col("doc_id"), col("s"))
+        val bands = minhashBandsOf(s, d)
+        val cands = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
+        jaccardOf(sh, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
+      })
+
   /** (doc_id, band, bkey) minhash LSH band keys from a (doc_id, s) shingle
     * set. One shingle explode, k min aggregates, band concat — the at-scale
     * shape.
@@ -435,16 +457,7 @@ object TextQueries {
     }),
 
     // MinHash+LSH: banded candidates → exact-Jaccard verification.
-    "d06_minhash_lsh_pairs" -> ((s, d) => {
-      val sh = rankedShingles(s, d).select(col("doc_id"), col("s"))
-      val bands = minhashBandsOf(s, d)
-      val cands = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
-      jaccardOf(sh, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
-    }),
+    "d06_minhash_lsh_pairs" -> ((s, d) => neardupPairs(s, d)),
 
     // SimHash 64-bit fingerprints (4 × 16-bit bands, tf-weighted md5 bits).
     "d07_simhash" -> ((s, d) => {
@@ -486,16 +499,10 @@ object TextQueries {
     // diameter; at web scale swap in alternating large-star/small-star,
     // same per-iteration plan shape (join + min-aggregate).
     "d10_neardup_clusters" -> ((s, d) => {
-      val sh = rankedShingles(s, d).select(col("doc_id"), col("s"))
-      val bands = minhashBandsOf(s, d)
-      val cands = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb")).distinct()
-      val pairs = jaccardOf(sh, Some(cands))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select("ida", "idb")
+      // clustering over the persisted verified pair set (= d06's table):
+      // the definition of this query IS "components of the near-dup
+      // graph", so the shared export makes the relationship literal
+      val pairs = neardupPairs(s, d).select("ida", "idb")
       // Cluster ONLY the near-dup subgraph: docs that appear in some edge.
       // Singletons — the overwhelming majority of any deduped corpus — skip
       // clustering entirely and re-enter as their own cluster at the end.
