@@ -79,23 +79,44 @@ object PlanAudit {
       t.contains("Join") && KernelNames.exists(t.contains)
     }
 
+  /** Kernels riding the rows-not-bytes spread contract: the dense vector
+    * kernels plus the per-row text kernels (winnow_fp in d09/d26,
+    * nfc_normalize in d19/d20) — all are CPU passes whose width must come
+    * from a row-sized repartition, not the raw scan's row-group count.
+    */
+  private[graft] val SpreadKernelNames = KernelNames :+ "nfc_normalize"
+
   /** Dense-kernel-above-spread contract (`Tables.spread`): a dense kernel
     * projection must sit ABOVE a round-robin exchange, so the kernel pass
     * runs at rows-sized width instead of the raw scan's row-group-bound
     * 1-2 tasks (the round-7 1000× finding — hours of serial compute for a
-    * ~40 s parallel stage). In tree text a parent prints above its child,
-    * so the FIRST kernel-bearing line must precede the LAST round-robin
-    * exchange; a plan whose spread vanished (no RoundRobinPartitioning) or
-    * whose kernel all sits below every exchange fails. Plans with no
-    * kernel at all (e06's arithmetic-only quantizer) pass vacuously.
+    * ~40 s parallel stage). Scoped PER SUBTREE (round-8 advice): each
+    * kernel-bearing line must have a RoundRobinPartitioning somewhere in
+    * its OWN subtree — the lines that follow it at strictly greater tree
+    * depth — so a kernel sunk below its exchange in one branch of a
+    * self-join cannot be excused by a spread in a later sibling branch.
+    * Plans with no kernel at all (e06's arithmetic-only quantizer) pass
+    * vacuously; a plan whose spread vanished entirely fails.
     */
   private[graft] def kernelAboveSpreadOk(plan: String): Boolean = {
     val lines = plan.linesIterator.toIndexedSeq
-    val ks = lines.indices.filter(i => KernelNames.exists(lines(i).contains))
-    if (ks.isEmpty) true
-    else {
-      val rr = lines.indices.filter(lines(_).contains("RoundRobinPartitioning"))
-      rr.nonEmpty && ks.min < rr.max
+    // tree-glyph column = depth: a child's ":- "/"+- " sits right of its
+    // parent's; root lines carry no glyph (depth -1, shallower than all)
+    def depth(l: String): Int = {
+      val i = l.indexOf("+- ")
+      val j = l.indexOf(":- ")
+      if (i < 0) j else if (j < 0) i else math.min(i, j)
+    }
+    val ks = lines.indices.filter(i => SpreadKernelNames.exists(lines(i).contains))
+    ks.forall { i =>
+      val d = depth(lines(i))
+      var j = i + 1
+      var ok = false
+      while (j < lines.length && depth(lines(j)) > d && !ok) {
+        if (lines(j).contains("RoundRobinPartitioning")) ok = true
+        j += 1
+      }
+      ok
     }
   }
 
@@ -170,8 +191,11 @@ object PlanAudit {
             (if (name.startsWith("e0") && !vectorAqeOff(plan))
                Seq("vector-pack query planned under AQE (dense child session lost)")
              else Seq.empty) ++
-            (if (name.startsWith("e0") && !kernelAboveSpreadOk(plan))
-               Seq("dense kernel not above a round-robin spread exchange")
+            // round 9: the spread contract covers EVERY kernel-bearing
+            // query, not just e0* — a refactor dropping documentsDense from
+            // d09 would serialize a 1000× winnow pass with no gate tripping
+            (if (!kernelAboveSpreadOk(plan))
+               Seq("kernel not above a round-robin spread exchange in its subtree")
              else Seq.empty)
         val unexpected = (flags.contains("CARTESIAN")
           || (flags.contains("NLJ") && name != "e01_cosine_topk")

@@ -56,10 +56,13 @@ object Tables {
     * where the work grows ~10×). A round-robin repartition sized from the
     * row count puts the dense stage on every core; the shuffle moves only
     * the raw rows — orders of magnitude cheaper than the dense work that
-    * justifies calling this. Narrow zero-shuffle projections (d09, d16,
-    * d18-d20) deliberately do NOT come through here: adding an exchange to
-    * them costs more than single-core scanning saves, and on real
-    * multi-file corpora the file count already parallelizes them.
+    * justifies calling this. Narrow CHEAP projections (d16, d18) stay
+    * zero-shuffle — their per-row work is a split/compare, so an exchange
+    * costs more than single-core scanning saves. But any per-BYTE kernel
+    * pass (winnow, NFC, regex scrub — d09/d19/d20 since round 9) must
+    * come through here: at 100× the zero-shuffle forms ran their whole
+    * kernel in the scan's 1-2 row-group-bound tasks (d09 12.6 s, d20
+    * 14.2 s, vs d26 doing MORE winnow work in 4 s above a spread).
     */
   def spread(df: DataFrame, rowsPerSlice: Long, memoKey: String = ""): DataFrame = {
     val sc = df.sparkSession.sparkContext

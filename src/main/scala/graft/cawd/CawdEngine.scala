@@ -221,10 +221,14 @@ object CawdEngine {
     val status = Dedup.flatStatus(cached.toDF(), dedupable, smallThreshold,
       store = StreamingEngine.readStore(spark, storeDir)).cache()
     try {
+      // CLI bulk ingest is not latency-bound: always cluster on the bucket
+      // value so one run writes ≤ NumSigBuckets files instead of
+      // tasks × buckets (round-8 advice — the measured 8 192-file trap).
       StreamingEngine.writeStorePartition(
         status.filter(col("status") === "miss")
           .select(col("signature"), col("chunkType"), col("size")),
-        s"$storeDir/batch=${StreamingEngine.nextCliBatchId(spark, storeDir)}")
+        s"$storeDir/batch=${StreamingEngine.nextCliBatchId(spark, storeDir)}",
+        clusterBuckets = true)
       // rollup materializes before the caches are released
       Stats.rollup(Stats.fromStatus(status).unionByName(timingStats(cached)))
         .localCheckpoint(true)

@@ -143,8 +143,7 @@ object CawdExport {
         else Seq(path)
       files.map { f =>
         val st = fs.getFileStatus(f)
-        val memoKey = s"${f.toString}:${st.getLen}:${st.getModificationTime}"
-        corpusKeyMemo.computeIfAbsent(memoKey, _ => {
+        def md5: String = {
           val md = java.security.MessageDigest.getInstance("MD5")
           val in = fs.open(f)
           try {
@@ -153,7 +152,18 @@ object CawdExport {
             while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
           } finally in.close()
           md.digest().map("%02x".format(_)).mkString
-        })
+        }
+        // (len, mtime) only identifies content when the file can no longer
+        // change under that mtime: a file regenerated in place within the
+        // clock's CURRENT second can reuse both length and mtime, and the
+        // memo would silently serve the old corpus's hash to all four
+        // near-dup pipelines (round-8 advice). Same-second mtimes bypass
+        // the memo in both directions — not consulted, not populated.
+        if (st.getModificationTime / 1000 >= System.currentTimeMillis() / 1000) md5
+        else {
+          val memoKey = s"${f.toString}:${st.getLen}:${st.getModificationTime}"
+          corpusKeyMemo.computeIfAbsent(memoKey, _ => md5)
+        }
       }.mkString(",")
     }
     s"$version:${parts.mkString(";")}"

@@ -51,9 +51,11 @@ object StreamingEngine {
   val NumSigBuckets = 256
 
   /** Batches up to this many files rank with a single window job; larger
-    * backfills use the distributed sort (see [[processBatch]]).
+    * backfills use the distributed sort (see [[processBatch]]). `var` as a
+    * test seam only: StreamingSpec lowers it to drive a 3-file "backfill"
+    * through the large branch without creating 2²⁰ files.
     */
-  val MaxWindowRankFiles: Long = 1L << 20
+  private[cawd] var MaxWindowRankFiles: Long = 1L << 20
 
   /** Deterministic signature → bucket assignment, usable on both the write
     * path and the probe's pruning filter.
@@ -324,14 +326,22 @@ object StreamingEngine {
         sess.createDataset(sess.sparkContext.parallelize(pairs.toSeq, slices))(
           org.apache.spark.sql.Encoders.product[(String, Int)])
       } else
-        batch.select(col("path")).as[String].rdd
-          .map(_.replaceFirst("^file:", ""))
-          .sortBy(_.getBytes("UTF-8"))(Utf8Order, scala.reflect.classTag[Array[Byte]])
-          .zipWithIndex()
-          .map { case (p, i) => (p, i.toInt) }
-          .repartition(spark.sparkContext.defaultParallelism)
+        // Bind the WHOLE pipeline to the backfill child: building this via
+        // the incoming `batch`'s lineage (spark.implicits' .toDF) would plan
+        // chunk/probe/write under the latency child's SQLConf — AQE off,
+        // shuffle.partitions as low as the last micro-batch left them — and
+        // only readStore below would see the backfill posture (round-8
+        // advice). Dropping to the RDD severs the old lineage; createDataFrame
+        // on `sess` re-roots it.
+        sess.createDataFrame(
+          batch.select(col("path")).as[String].rdd
+            .map(_.replaceFirst("^file:", ""))
+            .sortBy(_.getBytes("UTF-8"))(Utf8Order, scala.reflect.classTag[Array[Byte]])
+            .zipWithIndex()
+            .map { case (p, i) => (p, i.toInt) }
+            .repartition(spark.sparkContext.defaultParallelism))
           .toDF("path", "fileRank")
-          .as[(String, Int)]
+          .as[(String, Int)](org.apache.spark.sql.Encoders.product[(String, Int)])
     // ORC streams dedup with the NAIVE vocabulary, so chunk in Naive mode
     // too — StripeColumn's linked chunks (parentSeq != -1) would silently
     // fall out of flatStatus's top-level filter and the exported table
@@ -359,9 +369,13 @@ object StreamingEngine {
       // per-partition locks and thrash the scheduler.
       // insert-on-miss: this batch's first occurrences, keyed to its own
       // partition (overwrite = retry-safe), bucketed by signature
+      // Large backfills take the clustered write path: their miss count is
+      // unbounded, so the no-shuffle path would land tasks × buckets
+      // near-empty files (the measured 8 192-file pathology) until a
+      // compaction ran. Micro-batches keep the no-shuffle latency path.
       writeStorePartition(
         status.filter(col("status") === "miss").select(StoreCols.map(col): _*),
-        s"$storeDir/batch=$batchId")
+        s"$storeDir/batch=$batchId", clusterBuckets = !small)
       Stats.fromStatus(status)
         .write.mode("overwrite").parquet(s"$statsDir/batch_id=$batchId")
       // chunk-status table for the external oracle: cross-batch dedup is

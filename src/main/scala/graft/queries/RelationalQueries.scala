@@ -58,7 +58,10 @@ object RelationalQueries {
       catch { case scala.util.control.NonFatal(_) => 0L }
     val parts = math.max(s.sparkContext.defaultParallelism.toLong,
       bytes / (32L * 1024 * 1024)).toInt
-    graft.GraftSession.child(s, tag, aqe = true,
+    // corpus dir folded into the tag: children memoize per tag and carry a
+    // MUTABLE SQLConf, so two concurrent runs over different corpora must
+    // not share one child and race its shuffle sizing (round-8 advice)
+    graft.GraftSession.child(s, s"$tag:$d", aqe = true,
       shufflePartitions = Some(parts))
   }
 

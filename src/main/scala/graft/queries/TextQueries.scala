@@ -188,6 +188,85 @@ object TextQueries {
         jaccardOf(sh, Some(cands)).filter(col("jaccard") >= JaccardThreshold)
       })
 
+  /** EXACT Jaccard pair set via PPJoin prefix filtering (ida, idb,
+    * jaccard ≥ [[JaccardThreshold]]) — persisted per corpus like
+    * [[neardupPairs]], with the threshold and derivation version in the
+    * content key. Unlike the LSH table this one is exact: under a global
+    * shingle order (document frequency asc, then shingle), any pair with
+    * J >= t must share a shingle in each doc's first n - ceil(t*n) + 1
+    * shingles, so only prefixes are indexed for the candidate join — hot
+    * stopword shingles (the skew killers at corpus scale) almost never
+    * generate candidates — yet the result set is PROVABLY identical to
+    * the all-pairs definition the oracle computes.
+    */
+  private[graft] def jaccardPairsPersisted(s: SparkSession, d: String): DataFrame =
+    graft.cawd.CawdExport.materializePersistentDf(s, d, "jaccard_pairs",
+      fpCorpusKey(s, d) + s":ppjoin:j=$JaccardThreshold", {
+      // ONE persisted table serves every downstream role (prefix
+      // candidates, both verify sides, set sizes) — see [[rankedShingles]]
+      val ranked = rankedShingles(s, d)
+      val cands = ppjoinCandidates(ranked)
+        .cache() // three plan branches: two semi prunes + the size lookup
+      // candidate-only exact verify: prune each shingle side to candidate
+      // docs, count common shingles, read set sizes off the cand row itself
+      val shA = ranked.join(
+        cands.select(col("ida").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      val shB = ranked.join(
+        cands.select(col("idb").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      val common = shA.as("x")
+        .join(shB.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .join(cands,
+          col("x.doc_id") === cands("ida") && col("y.doc_id") === cands("idb"),
+          "left_semi")
+        .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .agg(count(lit(1)).as("common"))
+      common.join(cands, Seq("ida", "idb"))
+        .select(col("ida"), col("idb"),
+          round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+    })
+
+  /** PPJoin candidate pairs (ida, idb, na, nb) from a ranked shingle table
+    * — prefix index + length filter + positional filter, all exact (no
+    * candidate that could verify is ever pruned).
+    */
+  private[graft] def ppjoinCandidates(ranked: DataFrame): DataFrame = {
+      // n - floor(t*n) + 1 >= the exact bound n - ceil(t*n) + 1 for every
+      // n (equal when t*n is integral, one longer otherwise) and immune to
+      // double ceil() overshoot (ceil(15*0.8) = 13 in floating point)
+      val prefix = ranked
+        .filter(col("rnk") <= col("n") - floor(col("n") * JaccardThreshold) + 1)
+      prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            // PPJoin length filter: J >= t forces t·max(na,nb) <= min(na,nb).
+            // floor() on the float product only ever WEAKENS the bound
+            // (never prunes a pair where min/max = t exactly, e.g. 12/15
+            // with t = 0.8 where 0.8*15 floats to 12.000000000000002)
+            least(col("a.n"), col("b.n")) >=
+              floor(greatest(col("a.n"), col("b.n")) * JaccardThreshold) &&
+            // PPJoin positional filter: the global shingle order is shared,
+            // so for a common shingle at per-doc ranks (pa, pb), common
+            // shingles BEFORE it number <= min(pa-1, pb-1) and FROM it on
+            // <= min(na-pa+1, nb-pb+1); their sum bounds the overlap O.
+            // J >= t forces O >= t/(1+t)·(na+nb), so a join row whose
+            // bound falls below that can't come from a qualifying pair —
+            // and every common shingle of a qualifying pair satisfies the
+            // bound, so no candidate is lost. The -1e-9 keeps a float
+            // product landing a hair above an exact integer threshold
+            // from pruning a boundary pair (bound is integral; the true
+            // threshold t/(1+t)·(na+nb) = 4/9·(na+nb) at t=0.8 is exact
+            // in rationals).
+            (least(col("a.rnk"), col("b.rnk")) - 1 +
+              least(col("a.n") - col("a.rnk"), col("b.n") - col("b.rnk")) + 1) >=
+              (col("a.n") + col("b.n")) * (JaccardThreshold / (1 + JaccardThreshold)) - 1e-9)
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .distinct()
+  }
+
   /** (doc_id, band, bkey) minhash LSH band keys from a (doc_id, s) shingle
     * set. One shingle explode, k min aggregates, band concat — the at-scale
     * shape.
@@ -389,72 +468,16 @@ object TextQueries {
           .otherwise("unknown").as("predicted_lang"))
     }),
 
-    // n-gram Jaccard near-dup, EXACT via prefix filtering (PPJoin): under a
-    // global shingle order (document frequency asc, then shingle), any pair
-    // with J >= t must share a shingle in each doc's first
-    // n - ceil(t*n) + 1 shingles. Only prefixes are indexed for the
-    // candidate join, so hot stopword shingles (the skew killers at corpus
-    // scale) almost never generate candidates — yet the result set is
-    // PROVABLY identical to the all-pairs definition the oracle computes.
-    "d05_ngram_jaccard_pairs" -> ((s, d) => {
-      // ONE persisted table serves every downstream role (prefix
-      // candidates, both verify sides, set sizes) — see [[rankedShingles]]:
-      // the shingle+dfreq+window build is paid once per CORPUS, and within
-      // this query every branch reads the same parquet
-      val ranked = rankedShingles(s, d)
-      // n - floor(t*n) + 1 >= the exact bound n - ceil(t*n) + 1 for every
-      // n (equal when t*n is integral, one longer otherwise) and immune to
-      // double ceil() overshoot (ceil(15*0.8) = 13 in floating point)
-      val prefix = ranked
-        .filter(col("rnk") <= col("n") - floor(col("n") * JaccardThreshold) + 1)
-      val cands = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-            // PPJoin length filter: J >= t forces t·max(na,nb) <= min(na,nb).
-            // floor() on the float product only ever WEAKENS the bound
-            // (never prunes a pair where min/max = t exactly, e.g. 12/15
-            // with t = 0.8 where 0.8*15 floats to 12.000000000000002)
-            least(col("a.n"), col("b.n")) >=
-              floor(greatest(col("a.n"), col("b.n")) * JaccardThreshold) &&
-            // PPJoin positional filter: the global shingle order is shared,
-            // so for a common shingle at per-doc ranks (pa, pb), common
-            // shingles BEFORE it number <= min(pa-1, pb-1) and FROM it on
-            // <= min(na-pa+1, nb-pb+1); their sum bounds the overlap O.
-            // J >= t forces O >= t/(1+t)·(na+nb), so a join row whose
-            // bound falls below that can't come from a qualifying pair —
-            // and every common shingle of a qualifying pair satisfies the
-            // bound, so no candidate is lost. The -1e-9 keeps a float
-            // product landing a hair above an exact integer threshold
-            // from pruning a boundary pair (bound is integral; the true
-            // threshold t/(1+t)·(na+nb) = 4/9·(na+nb) at t=0.8 is exact
-            // in rationals).
-            (least(col("a.rnk"), col("b.rnk")) - 1 +
-              least(col("a.n") - col("a.rnk"), col("b.n") - col("b.rnk")) + 1) >=
-              (col("a.n") + col("b.n")) * (JaccardThreshold / (1 + JaccardThreshold)) - 1e-9)
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .distinct()
-        .cache() // three plan branches: two semi prunes + the size lookup
-      // candidate-only exact verify: prune each shingle side to candidate
-      // docs, count common shingles, read set sizes off the cand row itself
-      val shA = ranked.join(
-        cands.select(col("ida").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      val shB = ranked.join(
-        cands.select(col("idb").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      val common = shA.as("x")
-        .join(shB.as("y"),
-          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-        .join(cands,
-          col("x.doc_id") === cands("ida") && col("y.doc_id") === cands("idb"),
-          "left_semi")
-        .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-        .agg(count(lit(1)).as("common"))
-      common.join(cands, Seq("ida", "idb"))
-        .select(col("ida"), col("idb"),
-          round(col("common").cast("double") /
-            (col("na") + col("nb") - col("common")), 6).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-    }),
+    // EXACT n-gram Jaccard pairs via PPJoin (see [[jaccardPairsPersisted]]
+    // for the prefix/length/positional-filter proofs) — d05 IS the
+    // persisted table (round 9,
+    // the d06 pattern): the PPJoin candidate+verify join is a pure
+    // function of (corpus, threshold), and at 1000× it was the suite's
+    // top cost center (409.5 s cold / 156.8 s warm) re-paid per JVM even
+    // though the shingle-rank input was already shared. The threshold and
+    // the ppjoin derivation version are baked into the content key, so
+    // retuning rebuilds instead of silently serving pairs at the old cut.
+    "d05_ngram_jaccard_pairs" -> ((s, d) => jaccardPairsPersisted(s, d)),
 
     // MinHash+LSH: banded candidates → exact-Jaccard verification.
     "d06_minhash_lsh_pairs" -> ((s, d) => neardupPairs(s, d)),
@@ -721,7 +744,9 @@ object TextQueries {
     // composition observable; DuckDB's built-in nfc_normalize re-derives the
     // same lengths and hashes independently.
     "d19_text_normalize" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
+      // spread for the same reason as d09: the NFC kernel's width must
+      // come from rows, not the single-row-group scan (round 9)
+      documentsDense(s, d).createOrReplaceTempView("documents")
       s.sql(normalizeSql)
     }),
 
@@ -731,7 +756,10 @@ object TextQueries {
     // RE2-and-Java-compatible patterns. Pure per-row projection — the
     // at-scale shape is a map-only pass, no shuffle.
     "d20_pii_redact" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
+      // spread: the regex scrub is a dense per-byte pass (measured 14.2 s
+      // single-row-group vs ~1.5 s spread at 100×) — same contract as the
+      // named kernels even though the kernel here is a Spark builtin
+      documentsDense(s, d).createOrReplaceTempView("documents")
       s.sql(piiRedactSql(spark = true))
     }),
 
@@ -896,7 +924,14 @@ object TextQueries {
     // shared SQL definition the oracle runs; a spec cross-checks the
     // expression against that formulation on random strings.
     "d09_winnow_fingerprints" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
+      // documentsDense, NOT documents (round 9): the winnow pass is the
+      // suite's hottest per-byte kernel, and the raw scan's width is
+      // row-group-bound — the 100× corpus is ONE 80 MB row group, so the
+      // zero-shuffle form ran the whole kernel in 1-2 tasks (measured
+      // 12.6 s vs ~1.3 s spread; d26 runs winnow_fp_set + explode + agg
+      // over the SAME corpus in 4 s because it spreads first). The
+      // rows-only exchange is noise next to the kernel it widens.
+      documentsDense(s, d).createOrReplaceTempView("documents")
       s.sql(
         """SELECT doc_id, fp.n_fingerprints AS n_fingerprints,
           |       fp.min_fingerprint AS min_fingerprint

@@ -73,6 +73,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.kernelAboveSpreadOk("Project [a]\n+- FileScan parquet"))
   }
 
+  test("spread gate is per-subtree: a sibling branch's spread cannot excuse " +
+    "a kernel sunk below its own exchange") {
+    // round-8 advice: the old global first-kernel-before-last-RR check
+    // passed this multi-branch shape — kernel sunk below its exchange in
+    // branch 1, an unrelated RoundRobin in branch 2
+    val sunk =
+      """SortMergeJoin [k], [k], Inner
+        |:- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM
+        |:  +- Project [winnow_fp(text) AS fp]
+        |:     +- FileScan parquet
+        |+- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM
+        |   +- Project [k]
+        |      +- FileScan parquet""".stripMargin
+    assert(!PlanAudit.kernelAboveSpreadOk(sunk),
+      "kernel below its own exchange must fail even with a later-branch RR")
+    // the healthy shape: each kernel has a spread in its OWN subtree
+    val healthy =
+      """SortMergeJoin [k], [k], Inner
+        |:- Project [winnow_fp(text) AS fp]
+        |:  +- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM
+        |:     +- FileScan parquet
+        |+- Project [nfc_normalize(text) AS t]
+        |   +- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM
+        |      +- FileScan parquet""".stripMargin
+    assert(PlanAudit.kernelAboveSpreadOk(healthy))
+    // nfc_normalize rides the same contract (round 9: gate covers d19)
+    assert(!PlanAudit.kernelAboveSpreadOk(
+      "Project [nfc_normalize(text) AS t]\n+- FileScan parquet"))
+  }
+
   test("join-condition kernel gate: fires on a kernel in a join condition") {
     // string-level predicate (the probed e04/e05 shape); the whitelist is
     // exercised by PlanAudit's main over the real suite

@@ -119,6 +119,70 @@ class StreamingSpec extends AnyFunSuite {
     spark.stop()
   }
 
+  test("large backfill plans on the backfill child (AQE on) and clusters " +
+    "its store write") {
+    val spark = GraftSession.get("backfill-spec")
+    import spark.implicits._
+    val root = Files.createTempDirectory("backfill-spec").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val store = s"$root/store"; val stats = s"$root/stats"
+    // three distinct small parquet files
+    (0 until 3).foreach { i =>
+      spark.range(i * 1000, i * 1000 + 500).select(col("id"),
+        concat(lit(s"w$i-"), col("id")).as("s"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/src$i")
+      val f = new java.io.File(s"$root/src$i").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath, new java.io.File(inDir, s"f$i.parquet").toPath)
+    }
+    val paths = new java.io.File(inDir).listFiles().map(f => s"file:${f.getAbsolutePath}")
+    val saved = StreamingEngine.MaxWindowRankFiles
+    graft.StreamingPlanCapture.enabled = true
+    try {
+      // small branch first (f0 only): latency posture, no AdaptiveSparkPlan
+      graft.StreamingPlanCapture.reset()
+      StreamingEngine.processBatch(spark,
+        paths.filter(_.endsWith("f0.parquet")).toSeq.toDF("path"), 0L,
+        store, stats, CawdEngine.Parquet)
+      val smallPlans = graft.StreamingPlanCapture.all.map(_._2).mkString("\n")
+      assert(!smallPlans.contains("AdaptiveSparkPlan"),
+        "micro-batch latency path must plan AQE-off")
+      // large branch: force the backfill path over all 3 files — f0's
+      // chunks hit batch 0's store (dedup observed), f1/f2 miss (a
+      // non-empty clustered store write to assert on). The
+      // whole chunk/probe/write pipeline must plan on the backfill child
+      // (AQE ON) — round-8 advice: building `ranked` from the incoming
+      // batch's lineage left everything on the latency child's SQLConf.
+      StreamingEngine.MaxWindowRankFiles = 2L
+      graft.StreamingPlanCapture.reset()
+      StreamingEngine.processBatch(spark, paths.toSeq.toDF("path"), 1L,
+        store, stats, CawdEngine.Parquet)
+      val bigPlans = graft.StreamingPlanCapture.all.map(_._2).mkString("\n")
+      assert(bigPlans.contains("AdaptiveSparkPlan"),
+        "backfill batch must plan on the AQE-on backfill child")
+      // identical dedup semantics on both branches: batch 1 re-saw batch
+      // 0's bytes, so every dedupable chunk hits
+      val s = spark.read.parquet(stats)
+      assert(s.filter(col("batch_id") === 1 && col("metric") === "DedupBytes")
+        .agg(sum("value")).head().getDouble(0) > 0.0,
+        "backfill branch must still dedup against the store")
+      // clustered write: each sbucket dir of the backfill's store partition
+      // holds exactly ONE data file (no tasks × buckets fan-out)
+      val bdir = new java.io.File(store, "batch=1")
+      if (bdir.isDirectory) {
+        val perBucket = bdir.listFiles().filter(_.getName.startsWith("sbucket="))
+          .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+        assert(perBucket.nonEmpty && perBucket.forall(_ == 1),
+          s"clustered backfill write must land one file per bucket, got ${perBucket.toSeq}")
+      }
+    } finally {
+      StreamingEngine.MaxWindowRankFiles = saved
+      graft.StreamingPlanCapture.enabled = false
+      graft.StreamingPlanCapture.reset()
+      spark.stop()
+    }
+  }
+
   test("retention evicts old batches; retained signatures still hit") {
     val spark = GraftSession.get("streaming-retain-spec")
     import spark.implicits._
