@@ -143,6 +143,15 @@ object GraftSession {
       // An engine whose tables carry opaque media blobs needs row-batch
       // sizing that survives the widest row, not the average one.
       .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+      // The streaming store probe pushes its signature set into bucketed
+      // scans as ≤512-value In predicates (Dedup.InPushdownChunk) so the
+      // store's bloom filters + sorted-page column index can skip pages;
+      // Spark only forwards an In to parquet when its size is under this
+      // threshold (default 10 — above it only a min/max RANGE is pushed,
+      // useless on hash-valued signatures). No other query builds large
+      // literal In sets, so the session-wide raise is inert elsewhere.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        (cawd.Dedup.InPushdownChunk + 1).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()

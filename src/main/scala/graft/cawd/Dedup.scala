@@ -87,16 +87,51 @@ object Dedup {
       // shuffled join rather than a driver-breaking broadcast.
       case Some(s) if s.columns.contains(StreamingEngine.SigBucketCol) =>
         val probeSigs = chunks.select(col("signature")).distinct()
-        // ONE driver action per probe: the touched-bucket set (bounded by
-        // the ≤256-value bucket domain) and the broadcast-sizing count come
-        // out of the same aggregate — per-micro-batch driver latency is one
-        // job, not two.
-        val probeMeta = probeSigs.agg(
-          collect_set(StreamingEngine.sigBucket(col("signature"))).as("b"),
-          count(lit(1)).as("n")).head()
-        val buckets = probeMeta.getSeq[Int](0)
-        if (buckets.isEmpty) marked.withColumn(InStoreCol, lit(false))
-        else {
+        // ONE driver action per probe either way. Common (bounded) case: a
+        // capped collect yields the exact probe set AND its bucket set —
+        // bucket pruning plus an In predicate on `signature` itself, which
+        // is what lets the parquet reader engage the store's signature
+        // bloom filters and sorted-page column index (see
+        // writeStorePartition's clustered layout) instead of scanning
+        // every page of every touched bucket: the wide-probe cost becomes
+        // ~O(probe sigs × page size), store-size-independent. Over the cap
+        // (backfill-sized probes, where a scan is the right plan anyway)
+        // fall back to the aggregate: bucket set + broadcast sizing from
+        // one action, semi join against the pruned scan.
+        val capped = probeSigs.select(col("signature"),
+          StreamingEngine.sigBucket(col("signature")).as("__b"))
+          .limit(MaxInPushdownSigs + 1).collect()
+        if (capped.length <= MaxInPushdownSigs) {
+          if (capped.isEmpty) marked.withColumn(InStoreCol, lit(false))
+          else {
+            // The In set is the EXACT probe set (collected from a distinct
+            // scan), so the filter replaces the semi join outright. Spark
+            // hands parquet an In as a LEFT-LEANING or-of-eq chain whose
+            // evaluators recurse once per node — a single 4096-value In
+            // overflowed the 1 MB task stack (measured) — so the probe is
+            // CHUNKED: sort by bucket, slice into ≤[[InPushdownChunk]]-sig
+            // scans, each pruned to its own chunk's buckets, union the
+            // results. Bucket-sorting means the chunks' bucket sets
+            // partition the touched buckets, so the union reads the same
+            // files ONCE each — same total I/O as one big filter, ~500
+            // stack frames per scan instead of ~10 000.
+            val byBucket = capped.sortBy(_.getInt(1))
+            val hits = byBucket.grouped(InPushdownChunk).map { chunk =>
+              s.filter(
+                col(StreamingEngine.SigBucketCol)
+                  .isin(chunk.map(_.getInt(1)).distinct.toSeq: _*) &&
+                col("signature").isin(chunk.map(_.get(0)).toSeq: _*))
+            }.reduce(_ unionByName _)
+              .select(col("signature")).distinct()
+              .withColumn(InStoreCol, lit(true))
+            marked.join(hits, Seq("signature"), "left")
+              .withColumn(InStoreCol, coalesce(col(InStoreCol), lit(false)))
+          }
+        } else {
+          val probeMeta = probeSigs.agg(
+            collect_set(StreamingEngine.sigBucket(col("signature"))).as("b"),
+            count(lit(1)).as("n")).head()
+          val buckets = probeMeta.getSeq[Int](0)
           val pruned = s.filter(col(StreamingEngine.SigBucketCol).isin(buckets: _*))
           val probeSide =
             if (probeMeta.getLong(1) <= MaxBroadcastProbeSigs) broadcast(probeSigs)
@@ -121,6 +156,21 @@ object Dedup {
     * fall back to a shuffled join.
     */
   val MaxBroadcastProbeSigs: Long = 1L << 20
+
+  /** Probe sets up to this size are collected driver-side and pushed into
+    * the store scan as In predicates (≤ 80 KB of signatures on the
+    * driver); larger probes (backfills) keep the scan+semi-join plan.
+    */
+  val MaxInPushdownSigs: Int = 4096
+
+  /** Per-scan In size: Spark expands an In into a left-leaning or-of-eq
+    * parquet predicate whose bloom-filter / column-index evaluators
+    * recurse once per value — 4096 in one scan overflowed the default
+    * 1 MB task stack, 512 keeps ~500 recursion frames. The session conf
+    * `spark.sql.parquet.pushdown.inFilterThreshold` must stay above THIS
+    * (not [[MaxInPushdownSigs]]) for the pushdown to reach the reader.
+    */
+  val InPushdownChunk: Int = 512
 
   /** Flat (non-hierarchical) dedup: naive ORC, column-based ORC, parquet.
     *

@@ -83,11 +83,32 @@ object StreamingEngine {
   def writeStorePartition(df: DataFrame, dir: String,
                           clusterBuckets: Boolean = false): Unit = {
     val withBucket = df.withColumn(SigBucketCol, sigBucket(col("signature")))
+    // Clustered (bulk) writes additionally SORT by signature inside each
+    // bucket and shrink page row counts: signatures are hashes, so an
+    // unsorted file's per-page min/max spans the whole keyspace and a
+    // probe must scan every page of every touched bucket — the measured
+    // linear-in-store-bytes wide probe. Sorted + small pages, the parquet
+    // column index prunes a K-signature probe to ≤ K pages per bucket
+    // (store-size-INDEPENDENT), and the signature bloom filter drops
+    // whole row groups for miss-heavy probes. Both engage only through
+    // the probe's pushed predicate (see markFirstOccurrence's In
+    // pushdown); micro-batch writes skip the sort — their files are tiny
+    // and compaction re-clusters them anyway. The sort key is prefixed by
+    // the partition column, so FileFormatWriter's required partition
+    // ordering is already satisfied and no second sort runs.
     val arranged =
       if (clusterBuckets)
         withBucket.repartition(NumSigBuckets, col(SigBucketCol))
+          .sortWithinPartitions(col(SigBucketCol), col("signature"))
       else withBucket
-    arranged.write.mode("overwrite").partitionBy(SigBucketCol).parquet(dir)
+    val writer =
+      if (clusterBuckets)
+        arranged.write
+          .option("parquet.bloom.filter.enabled#signature", "true")
+          .option("parquet.bloom.filter.adaptive.enabled", "true")
+          .option("parquet.page.row.count.limit", "4096")
+      else arranged.write
+    writer.mode("overwrite").partitionBy(SigBucketCol).parquet(dir)
   }
 
   /** Explicit store schema: a batch with zero misses still writes its

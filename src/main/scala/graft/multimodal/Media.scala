@@ -432,19 +432,34 @@ object Media {
   private def featureOf(h: String): Array[Double] =
     (0 until 8).map(i => nib(h, 8 + i) / 15.0).toArray
 
+  /** doc_id → modality assignment, shared by [[mediaTable]] and every
+    * metadata-only consumer (m05's balance step): modality is a pure
+    * function of the id, so "which modality is this row" must never
+    * require touching — or encoding — the blob bytes.
+    */
+  def modalityOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (id % 3 + 1).cast("int"))
+
   /** The corpus has no ingest media files; IMAGE rows get genuine
     * deterministically-rendered PNG bytes, AUDIO rows genuine RIFF/WAVE
     * PCM bytes, and VIDEO rows genuine ISO-BMFF/MP4 bytes (dims / rate /
     * frame count / GOP / seed all derived from the doc text digest).
     * Encoding runs per-partition — the same batch shape as the decode side.
+    * `onlyModality` prunes BEFORE the encode kernel: modality is
+    * id-derived, so a consumer that needs one modality (m04's
+    * video-frame sampler on the fused path) must not pay the other two
+    * thirds' codec cost — a post-hoc filter could not reach inside the
+    * mapPartitions.
     */
-  def mediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+  def mediaTable(spark: SparkSession, docs: DataFrame,
+                 onlyModality: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    spread(docs.select(
+    val base = docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      modalityOf(col("doc_id")).as("modality"),
       encode(col("text"), "UTF-8").as("content"))
+    spread(onlyModality.fold(base)(m => base.filter(col("modality") === m))
       .as[MediaRow])
       .mapPartitions { rows =>
         rows.map { r =>

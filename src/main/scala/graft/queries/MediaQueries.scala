@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.Tables._
 import graft.cawd.CawdExport
 import graft.multimodal.Media
@@ -33,14 +34,49 @@ object MediaQueries {
     CawdExport.corpusContentKey(s, Seq(s"$d/documents.parquet"),
       MediaDerivationVersion)
 
+  /** Documents row count straight from the parquet footers — no Spark job;
+    * sizes the blob-export decision below.
+    */
+  private def docRowCount(s: SparkSession, d: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$d/documents.parquet")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val files = if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq
+    else Seq(p)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+    }.sum
+  }
+
+  /** Blobs average ~20 KB/doc (measured 9.3 GB / 500 k docs at the 100×
+    * corpus), so the BLOB export crosses ~20 GB at 10⁶ docs — past that
+    * materializing it is a disk-budget liability (the 1000× corpus would
+    * need ~93 GB), and the blob-read path the export measures is already
+    * covered at smaller decades. Above the cap the media pipeline runs
+    * FUSED — encode feeding decode in one pass, features (small) still
+    * persisted per corpus — and m04/m05 switch to modality-pruned /
+    * metadata-only derivations. Conf override is a test seam.
+    */
+  private def blobsPersisted(s: SparkSession, d: String): Boolean =
+    docRowCount(s, d) <= s.conf.getOption("spark.graft.media.maxExportRows")
+      .map(_.toLong).getOrElse(1000000L)
+
   /** Media blob table, persisted ACROSS sessions keyed by the corpus
     * content hash: the table is a pure function of the documents corpus,
     * and a real pipeline materializes it once per corpus, not once per
-    * JVM (at the 100× corpus the encode+write alone is minutes).
+    * JVM (at the 100× corpus the encode+write alone is minutes). Above
+    * [[blobsPersisted]]'s cap the same rows stream unmaterialized.
     */
   private def mediaExport(s: SparkSession, d: String): DataFrame =
-    CawdExport.materializePersistentDf(s, d, "media", corpusKey(s, d),
-      Media.mediaTable(s, documentsDense(s, d)).toDF())
+    if (blobsPersisted(s, d))
+      CawdExport.materializePersistentDf(s, d, "media", corpusKey(s, d),
+        Media.mediaTable(s, documentsDense(s, d)).toDF())
+    else Media.mediaTable(s, documentsDense(s, d)).toDF()
 
   /** Decoded features, persisted across sessions like the blob table:
     * m01/m02/m03 all consume this table, so the full-corpus decode (the
@@ -80,7 +116,13 @@ object MediaQueries {
     // training row (timestamp, perceptual-hash stand-in, keyframe flag).
     "m04_frame_sample" -> ((s, d) => {
       import s.implicits._
-      Media.sampleFrames(mediaExport(s, d).as[Media.MediaRow], stride = 2).toDF()
+      // fused path re-encodes, so prune to the one modality the sampler
+      // reads BEFORE the codec kernel; the persisted path reads all blobs
+      // off disk and lets the sampler's own filter drop non-videos
+      val rows =
+        if (blobsPersisted(s, d)) mediaExport(s, d).as[Media.MediaRow]
+        else Media.mediaTable(s, documentsDense(s, d), Some("video"))
+      Media.sampleFrames(rows, stride = 2).toDF()
     }),
 
     // Modality rebalancing: deterministically down-sample every modality
@@ -103,7 +145,16 @@ object MediaQueries {
     // samp_rank = bucket offset + within-bucket rank reproduces the global
     // rank exactly. At 10⁹ rows/modality widen the prefix to 4 hex chars.
     "m05_modality_balance" -> ((s, d) => {
-      mediaExport(s, d)
+      // the balance step reads NO bytes: (media_id, modality) is id-derived,
+      // so the fused path derives it straight from the documents scan —
+      // triggering the encode kernel for a metadata decision would be the
+      // exact 10⁹-row bug the digest note below describes
+      val ids =
+        if (blobsPersisted(s, d))
+          mediaExport(s, d).select(col("media_id"), col("modality"))
+        else documents(s, d).select(col("doc_id").as("media_id"),
+          Media.modalityOf(col("doc_id")).as("modality"))
+      ids
         .select(col("media_id"), col("modality"),
           md5(concat(col("modality"), lit(":"),
             col("media_id").cast("string"))).as("h"))
