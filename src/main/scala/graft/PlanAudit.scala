@@ -37,8 +37,18 @@ object PlanAudit {
       p => p.contains("PartitionFilters") && p.contains("INSET") &&
         "PartitionFilters: \\[[^\\]]*sbucket".r.findFirstIn(p).isDefined),
     ("s01_streaming_dedup",
-      "store probe must broadcast the bounded probe side into a semi join",
-      p => "BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(p).isDefined))
+      "store probe must stay broadcast: semi join (big-probe fallback) or " +
+        "In-pushdown hits join with an INSET-filtered store scan",
+      // Two accepted postures, both keeping the batch side unshuffled:
+      // the aggregate/semi fallback for oversized probes (broadcast semi),
+      // or the round-9 point-index path — probe signatures pushed into the
+      // store scan as In predicates (INSET in DataFilters engages the
+      // sorted-page column index + blooms) with the bounded hits relation
+      // broadcast back as a left join. A shuffle join in either shape
+      // still fails.
+      p => "BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(p).isDefined ||
+        ("BroadcastHashJoin [^\\n]*LeftOuter, BuildRight".r.findFirstIn(p).isDefined &&
+          "FileScan parquet [^\\n]*INSET".r.findFirstIn(p).isDefined)))
 
   /** Graft's dense kernel expressions. A FILTER whose condition evaluates
     * one of these is the InferFiltersFromGenerate pathology (round 7): the

@@ -42,18 +42,31 @@ object Recall {
     "e03_ivf_topk" -> 0.55,
     "e07_ivf_topk_sampled" -> 0.55)
 
-  /** recall@K per approximate index vs the cached exact baseline. */
+  /** recall@K per approximate index vs the exact baseline. The baseline is
+    * MATERIALIZED to the driver and rebuilt as a local DataFrame (bounded:
+    * ~probe-sample × K ≈ 2.5 k (q_id, n_id) pairs at any corpus size — the
+    * probe modulus caps the sample) instead of cache()d: a cached e01
+    * keeps its whole lineage strongly reachable, which pins the exact
+    * scan's shuffle files on disk for the rest of the run — at the 4 M
+    * vector corpus those leftovers held ~25 GB while e02's own banded sort
+    * legitimately spilled ~22 GB, and the two together hit ENOSPC.
+    * Cutting the lineage lets ContextCleaner reap e01's shuffles at the
+    * System.gc() below, before any index query runs.
+    */
   def measure(spark: SparkSession, sfDir: String): Map[String, Double] = {
-    val exact = SparkEntry.queries("e01_cosine_topk")(spark, sfDir)
-      .select("q_id", "n_id").cache()
-    val denom = exact.count().toDouble
-    val out = Floors.keys.toSeq.sorted.map { q =>
+    val src = SparkEntry.queries("e01_cosine_topk")(spark, sfDir)
+      .select("q_id", "n_id")
+    val exactRows = src.collect()
+    val exact = spark.createDataFrame(
+      spark.sparkContext.parallelize(exactRows.toIndexedSeq, 1), src.schema)
+    val denom = exactRows.length.toDouble
+    System.gc() // let ContextCleaner drop the exact run's shuffle files
+    Floors.keys.toSeq.sorted.map { q =>
       val hits = SparkEntry.queries(q)(spark, sfDir).select("q_id", "n_id")
         .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+      System.gc() // same, per index query (Bench.runOne's rationale)
       q -> hits / denom
     }.toMap
-    exact.unpersist()
-    out
   }
 
   def main(args: Array[String]): Unit = {

@@ -124,7 +124,12 @@ object Dedup {
             }.reduce(_ unionByName _)
               .select(col("signature")).distinct()
               .withColumn(InStoreCol, lit(true))
-            marked.join(hits, Seq("signature"), "left")
+            // hits ≤ the probe cap (4096 sigs) by construction — broadcast
+            // it so the batch side stays unshuffled (the same posture the
+            // PlanAudit store-probe gate enforces on the semi-join path;
+            // without the hint the unknown-stats union picks an SMJ that
+            // shuffles the whole batch per micro-batch)
+            marked.join(broadcast(hits), Seq("signature"), "left")
               .withColumn(InStoreCol, coalesce(col(InStoreCol), lit(false)))
           }
         } else {

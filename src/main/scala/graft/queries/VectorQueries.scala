@@ -251,10 +251,40 @@ object VectorQueries {
        |  SELECT ${hint}DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
        |  FROM qmulti q JOIN bandbuckets n
        |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id != n.vec_id),
-       |scored AS (
-       |  SELECT q_id, n_id, $cosFn AS cos
-       |  FROM cand JOIN $embSrc ea ON cand.q_id = ea.vec_id
-       |            JOIN $embSrc eb ON cand.n_id = eb.vec_id)
+       |${rerankCtes(spark, "cand")}""".stripMargin
+  }
+
+  /** Exact-rerank tail shared by the probe→candidate indexes (e02 LSH,
+    * e03/e07 IVF): score each (q_id, n_id) candidate with exact cosine,
+    * keep top-[[TopK]] per probe. The SPARK join shape is scale-load-
+    * bearing: the q side of the cosine join is the bounded probe sample
+    * (~500 vectors at ANY corpus size — the qmod schedule), so it joins
+    * BROADCAST *after* the n-side merge join. Written symmetrically
+    * (`cand ⋈ ea ⋈ eb`, the oracle's form), Catalyst keeps the literal
+    * join order, and every candidate row carries the 520 B query
+    * embedding through the n_id exchange+sort — measured at the 4 M
+    * vector corpus: one 24-task sort stage, 90 GB memory / 26 GB disk
+    * spill, ENOSPC with anything else on disk. Ordered n-side-first +
+    * broadcast-q, the only wide relation that ever hits an exchange is
+    * the embeddings table itself (once, by vec_id); candidate rows cross
+    * their exchanges at 16 B. The oracle keeps the symmetric join as the
+    * independent re-derivation.
+    */
+  private def rerankCtes(spark: Boolean, candRel: String): String = {
+    val cosFn = if (spark) FactoredCos else CosSql
+    val scored =
+      if (spark)
+        s"""scored AS (
+           |  SELECT /*+ BROADCAST(ea) */ q_id, n_id, $cosFn AS cos
+           |  FROM $candRel JOIN $ENormSrc eb ON $candRel.n_id = eb.vec_id
+           |       JOIN (SELECT vec_id, embedding, nrm FROM $ENormSrc t
+           |             WHERE $ProbeFilter) ea ON $candRel.q_id = ea.vec_id)"""
+      else
+        s"""scored AS (
+           |  SELECT q_id, n_id, $cosFn AS cos
+           |  FROM $candRel JOIN embeddings ea ON $candRel.q_id = ea.vec_id
+           |            JOIN embeddings eb ON $candRel.n_id = eb.vec_id)"""
+    s"""$scored
        |SELECT q_id, rank, n_id, cos FROM (
        |  SELECT q_id, n_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
@@ -481,15 +511,7 @@ object VectorQueries {
        |pairs AS (
        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
        |  FROM probes p JOIN $aFin a USING (cell) WHERE p.q_id <> a.vec_id),
-       |scored AS (
-       |  SELECT q_id, n_id, $cosFn AS cos
-       |  FROM pairs JOIN $embSrc ea ON pairs.q_id = ea.vec_id
-       |             JOIN $embSrc eb ON pairs.n_id = eb.vec_id)
-       |SELECT q_id, rank, n_id, cos FROM (
-       |  SELECT q_id, n_id, cos,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
-       |  FROM scored) r
-       |WHERE rank <= $TopK""".stripMargin
+       |${rerankCtes(spark, "pairs")}""".stripMargin
   }
 
   /** e04 SQL, both engines: banded sign-LSH near-dup pairs (OR-construction,

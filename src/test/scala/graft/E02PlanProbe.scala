@@ -9,23 +9,25 @@ object E02PlanProbe {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
     val q = if (args.length > 1) args(1) else "e02_lsh_topk"
     val spark = GraftSession.get("plan-probe")
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, String)]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
-        val cpu = i.taskMetrics.executorCpuTime / 1000000L
-        stages.put(i.stageId, (i.numTasks, cpu, i.name.take(60)))
+        val m = i.taskMetrics
+        stages.put(i.stageId, (i.numTasks, m.executorCpuTime / 1000000L,
+          m.shuffleWriteMetrics.bytesWritten, m.diskBytesSpilled,
+          m.memoryBytesSpilled, i.name.take(60)))
       }
     })
     val df = SparkEntry.queries(q)(spark, sf)
     df.write.format("noop").mode("overwrite").save()
     println("===== final plan =====")
     println(df.queryExecution.executedPlan.treeString)
-    println("===== stages by cpu (id, tasks, cpuMs) =====")
+    println("===== stages by cpu (id, tasks, cpuMs, shufWrMB, diskSpillMB, memSpillMB) =====")
     import scala.jdk.CollectionConverters._
-    stages.asScala.toSeq.sortBy(-_._2._2).take(15).foreach { case (id, v) =>
-      println(f"stage $id%4d tasks=${v._1}%5d cpuMs=${v._2}%8d  ${v._3}")
+    stages.asScala.toSeq.sortBy(-_._2._2).take(20).foreach { case (id, v) =>
+      println(f"stage $id%4d tasks=${v._1}%5d cpuMs=${v._2}%8d shufWr=${v._3 / 1e6}%9.0f disk=${v._4 / 1e6}%9.0f mem=${v._5 / 1e6}%9.0f  ${v._6}")
     }
     spark.stop()
   }
