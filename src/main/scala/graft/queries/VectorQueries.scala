@@ -42,7 +42,17 @@ object VectorQueries {
     *   - np = 16, 64 tables → 0.726 ⇒ q(16) ≈ 0.0200;
     *   - np = 16, 112 tables → 0.899 ⇒ q(16) ≈ 0.0203 — the SAME q from
     *     an independent table count, so recall ≈ 1−(1−q(np))^nb holds to
-    *     three digits and the model is trustworthy for sizing.
+    *     three digits and the model is trustworthy for sizing;
+    *   - np = 17 (4 M vectors, round-9 anchor ONE DECADE past the fit):
+    *     schedule-produced nb(17) = 142 → measured recall 0.8934 ⇒
+    *     q(17) ≈ 0.0156. Decay q17/q16 ≈ 0.77 — steeper than the 0.837
+    *     two-anchor fit, and exactly what the committed 1.25-per-plane
+    *     growth (vs the fitted 1.195) exists to absorb: the margin kept
+    *     the schedule's own output at 0.89, far above the 0.75 floor,
+    *     with no hand edit. At the observed 0.77-0.84 decay band the
+    *     np = 24 projection shifts to ~600-900 tables for design-0.9 —
+    *     reinforcing (not weakening) the comment below that IVF is the
+    *     primary 10⁹⁺ path and e02's schedule keeps LSH honest.
     * Per added plane, q decays by (q16/q13)^(1/3) ≈ 0.837 measured
     * (analytic q ≈ p^np·(1+np(1−p)/p) puts the effective p ≈ 0.84 and the
     * ratio ≈ 0.87–0.88 — close, slightly flatter). Holding the DESIGN
