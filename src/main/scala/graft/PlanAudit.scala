@@ -61,7 +61,8 @@ object PlanAudit {
     * recreating it, or a hand-written kernel predicate).
     */
   private val KernelNames =
-    Seq("sign_lsh_buckets", "winnow_fp", "cosine_sim", "dot_product")
+    Seq("sign_lsh_buckets", "winnow_fp", "simhash_fp", "cosine_sim",
+      "dot_product")
   private[graft] def kernelFilterFlag(plan: String): Boolean =
     plan.linesIterator.exists { l =>
       val t = l.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-')

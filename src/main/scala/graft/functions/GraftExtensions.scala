@@ -78,6 +78,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprint(exprs(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimhashFingerprint].getName, "simhash_fp"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`simhash_fp`", "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        SimhashFingerprint(exprs(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("winnow_fp_set"),
       new ExpressionInfo(classOf[WinnowFingerprintSet].getName, "winnow_fp_set"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -333,7 +333,36 @@ object TextQueries {
     * (shiftright) vs DuckDB (>>) operator spelling; everything else is
     * common SQL so both engines compute identical values.
     */
-  private def simhashSql(spark: Boolean): String = {
+  /** SimHash fingerprint table (doc_id, b0..b3), persisted per corpus like
+    * [[rankedShingles]]. The build runs the native
+    * [[graft.functions.SimhashFingerprint]] kernel — per-doc, zero
+    * exchanges, vs the relational form's explode→tf→join→re-agg three-
+    * shuffle pipeline (~40 GB of shuffle at the 1000× corpus, the spill
+    * that ENOSPC'd the first fifth-decade run; the ORACLE still runs the
+    * relational [[simhashSql]] as the independent re-derivation and the
+    * correctness gate hash-compares the two). Persisting — rather than
+    * running the kernel in each query plan — matters twice over: (1)
+    * d08's band self-join consumes the fingerprints TWICE, so an in-plan
+    * kernel would run the md5 pass over the corpus twice per query; (2)
+    * joining directly over the kernel projection lets Catalyst rewrite
+    * the inferred join-key `isnotnull(bval)` into a per-row
+    * `simhash_fp(text)[..]` filter pushed below the spread exchange —
+    * the kernel-above-spread gate caught exactly that on the first
+    * in-plan wiring. Reading the bands back as plain parquet columns
+    * keeps every downstream filter in the scan.
+    */
+  private[graft] def simhashesOf(s: SparkSession, d: String): DataFrame =
+    graft.cawd.CawdExport.materializePersistentDf(s, d, "simhash_fp",
+      fpCorpusKey(s, d), {
+        val sh = documentsDense(s, d)
+          .select(col("doc_id"), expr("simhash_fp(text)").as("sh"))
+        // two Projects on purpose: sh is non-cheap and referenced four
+        // times, which blocks CollapseProject from quadrupling the kernel
+        sh.select(col("doc_id"), col("sh")(0).as("b0"), col("sh")(1).as("b1"),
+          col("sh")(2).as("b2"), col("sh")(3).as("b3"))
+      })
+
+  private[graft] def simhashSql(spark: Boolean): String = {
     def shr(x: String, n: Int) = if (spark) s"shiftright($x, $n)" else s"($x >> $n)"
     // bit p (0..63) of md5(token): nibble = hex char p/4, bit = (nib >> (3-p%4)) & 1
     val tokenBits = (0 until 64).map { p =>
@@ -482,34 +511,34 @@ object TextQueries {
     // MinHash+LSH: banded candidates → exact-Jaccard verification.
     "d06_minhash_lsh_pairs" -> ((s, d) => neardupPairs(s, d)),
 
-    // SimHash 64-bit fingerprints (4 × 16-bit bands, tf-weighted md5 bits).
-    "d07_simhash" -> ((s, d) => {
-      documentsDense(s, d).createOrReplaceTempView("documents")
-      s.sql(simhashSql(spark = true))
-    }),
+    // SimHash 64-bit fingerprints (4 × 16-bit bands, tf-weighted md5 bits)
+    // — the persisted per-corpus kernel table; d07 IS the table.
+    "d07_simhash" -> ((s, d) => simhashesOf(s, d)),
 
-    // SimHash near-dup: band-equality candidates, hamming ≤ radius.
+    // SimHash near-dup: band-equality candidates, hamming ≤ radius. The
+    // band self-join CARRIES all four band values, so the hamming verify
+    // runs as an inline join filter in the same codegen stage — the
+    // ~N²/2¹⁶-per-band candidate stream (10⁸⁺ rows at the 1000× corpus)
+    // is never materialized, never DISTINCTed, and never re-joined to the
+    // fingerprint table; only the radius-passing pairs reach the DISTINCT.
+    // The relational three-shuffle shape this replaces is what ENOSPC'd
+    // the first fifth-decade run (SCALE.md round 9); the ORACLE still runs
+    // it as the independent re-derivation.
     "d08_simhash_pairs" -> ((s, d) => {
-      documentsDense(s, d).createOrReplaceTempView("documents")
-      val sh = s.sql(simhashSql(spark = true))
-      sh.createOrReplaceTempView("simhashes")
+      simhashesOf(s, d).createOrReplaceTempView("simhashes")
+      val ham = "bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+        "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)"
       s.sql(
         s"""WITH bands AS (
            |  SELECT doc_id, band, CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
-           |         WHEN 2 THEN b2 ELSE b3 END AS bval
+           |         WHEN 2 THEN b2 ELSE b3 END AS bval, b0, b1, b2, b3
            |  FROM simhashes
-           |  LATERAL VIEW explode(array(0, 1, 2, 3)) t AS band),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-           |SELECT ida, idb,
-           |  CAST(bit_count(sa.b0 ^ sb.b0) + bit_count(sa.b1 ^ sb.b1) +
-           |       bit_count(sa.b2 ^ sb.b2) + bit_count(sa.b3 ^ sb.b3) AS INT) AS hamming
-           |FROM cand JOIN simhashes sa ON cand.ida = sa.doc_id
-           |          JOIN simhashes sb ON cand.idb = sb.doc_id
-           |WHERE bit_count(sa.b0 ^ sb.b0) + bit_count(sa.b1 ^ sb.b1) +
-           |      bit_count(sa.b2 ^ sb.b2) + bit_count(sa.b3 ^ sb.b3) <= $HammingRadius
+           |  LATERAL VIEW explode(array(0, 1, 2, 3)) t AS band)
+           |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+           |  CAST($ham AS INT) AS hamming
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+           |WHERE $ham <= $HammingRadius
            |""".stripMargin)
     }),
 
