@@ -151,7 +151,9 @@ object VectorQueries {
     * buckets.
     */
   private def bandedCtes(spark: Boolean, nbExpr: String, maxBands: Int,
-                         minPlanes: Int, seed: String): String = {
+                         minPlanes: Int, seed: String,
+                         payloadInner: String = "",
+                         payloadOuter: String = ""): String = {
     val npMax = 24
     val maxPlanes = maxBands * npMax
     val np = "(SELECT np FROM nparams)"
@@ -169,11 +171,14 @@ object VectorQueries {
       // (which the ORACLE still runs as the independent re-derivation)
       // pushed N·d·(nb·np) rows through a shuffle + hash aggregate just to
       // recover per-plane signs (683 M rows / 7.5 s at sf0.1 for e02's
-      // 64-band index).
+      // 64-band index). `payloadInner`/`payloadOuter` let a caller carry
+      // per-vector columns (label, embedding, norm) THROUGH the explode so
+      // a downstream band self-join can verify pairs inline instead of
+      // re-joining the embeddings table (the e04 fifth-decade fix).
       s"""$nparams,
          |bandbuckets AS (
-         |  SELECT vec_id, band, bucket
-         |  FROM (SELECT vec_id,
+         |  SELECT vec_id$payloadOuter, band, bucket
+         |  FROM (SELECT vec_id$payloadInner,
          |          sign_lsh_buckets(embedding, CAST($np AS INT),
          |            CAST($nb AS INT), '$seed') AS bks
          |        FROM embeddings) e
@@ -530,20 +535,49 @@ object VectorQueries {
     * then exact cosine verifies against [[NdThreshold]]. Candidate
     * generation is an equi-join on (band, bucket) — never all-pairs.
     */
-  private def e04Sql(spark: Boolean): String = {
-    val cosFn = if (spark) FactoredCos else CosSql
-    val embSrc = if (spark) ENormSrc else "embeddings"
-    s"""WITH ${bandedCtes(spark, NdBands.toString, NdBands, NdPlanesPerBand, "nd:")},
-       |cand AS (
-       |  SELECT DISTINCT q.vec_id AS ida, n.vec_id AS idb
-       |  FROM bandbuckets q JOIN bandbuckets n
-       |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id < n.vec_id),
-       |scored AS (
-       |  SELECT ida, idb, ea.label AS la, eb.label AS lb, $cosFn AS cos
-       |  FROM cand JOIN $embSrc ea ON cand.ida = ea.vec_id
-       |            JOIN $embSrc eb ON cand.idb = eb.vec_id)
-       |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin
-  }
+  private def e04Sql(spark: Boolean): String =
+    if (spark) {
+      // Spark side verifies INLINE in the band self-join (the d08 trick in
+      // embedding space): each band row carries its vector's (label,
+      // embedding, norm) through the explode, so the join stage computes
+      // the exact cosine per candidate and only threshold-passing pairs
+      // reach the DISTINCT. The shape this replaces — DISTINCT over the
+      // raw candidate stream, then TWO joins back to the embeddings table
+      // — dragged ~520 B vectors through the candidate exchanges:
+      // measured at the 1000× corpus (2 M vectors, ~2.4×10⁸ candidates)
+      // it spilled ~47 GB of shuffle and ENOSPC'd the suite. Inline, the
+      // only wide exchange is bandbuckets itself (N·nb rows — the
+      // standard LSH shuffle), candidates never leave their join stage,
+      // and filter-then-DISTINCT ≡ DISTINCT-then-filter because the
+      // rounded cosine is a pure function of the pair. The cosine
+      // predicate lands in the join condition — e04 is whitelisted in
+      // [[PlanAudit.JoinKernelAllowed]]: its semantics ARE a
+      // per-candidate-pair kernel verify.
+      s"""WITH ${bandedCtes(spark = true, NdBands.toString, NdBands,
+             NdPlanesPerBand, "nd:",
+             payloadInner =
+               ", label, embedding, sqrt(dot_product(embedding, embedding)) AS nrm",
+             payloadOuter = ", label, embedding, nrm")},
+         |scored AS (
+         |  SELECT q.vec_id AS ida, n.vec_id AS idb, q.label AS la,
+         |    n.label AS lb, ${factoredCos("q", "n")} AS cosraw
+         |  FROM bandbuckets q JOIN bandbuckets n
+         |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id < n.vec_id)
+         |SELECT DISTINCT ida, idb, la, lb, round(cosraw, 6) AS cos
+         |FROM scored WHERE round(cosraw, 6) >= $NdThreshold""".stripMargin
+    } else {
+      s"""WITH ${bandedCtes(spark = false, NdBands.toString, NdBands,
+             NdPlanesPerBand, "nd:")},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS ida, n.vec_id AS idb
+         |  FROM bandbuckets q JOIN bandbuckets n
+         |    ON q.band = n.band AND q.bucket = n.bucket AND q.vec_id < n.vec_id),
+         |scored AS (
+         |  SELECT ida, idb, ea.label AS la, eb.label AS lb, $CosSql AS cos
+         |  FROM cand JOIN embeddings ea ON cand.ida = ea.vec_id
+         |            JOIN embeddings eb ON cand.idb = eb.vec_id)
+         |SELECT ida, idb, la, lb, cos FROM scored WHERE cos >= $NdThreshold""".stripMargin
+    }
 
   /** SemDeDup threshold: a vector with a within-cell neighbor of smaller
     * id at cosine ≥ this is dropped (dup_of = that smallest neighbor).
@@ -617,6 +651,45 @@ object VectorQueries {
     // The j = (x − x % cn)/cn form is exact: the numerator is a multiple
     // of cn and both operands are < 2^53, so the float division is exact
     // where a bare floor(x/cn) can round up across the boundary.
+    // Spark side: the within-cell pair verify runs INLINE in the
+    // (cell, sub) self-join — each assign row picks up its (embedding,
+    // norm) ONCE (one N-row join), the self-join computes the exact
+    // cosine per pair inside the join stage, and only threshold-passing
+    // pairs reach the min-per-idb aggregate (map-side partial in the same
+    // stage). The shape this replaces — materialize the ~N^1.5/2 pair
+    // stream, then TWO joins back to the embeddings table — dragged
+    // ~520 B vectors through the pair exchanges: measured at the 1000×
+    // corpus (2 M vectors, ~1.4×10⁹ within-cell pairs) it filled the disk
+    // with shuffle spill and ENOSPC'd. min-of-ida per idb over passing
+    // pairs is unchanged, so the result is value-identical; the cosine
+    // predicate lands in the join condition — e05 is whitelisted in
+    // [[PlanAudit.JoinKernelAllowed]] because its semantics ARE a
+    // per-candidate-pair kernel verify. The ORACLE keeps the
+    // pairs→scored→dropped relational derivation.
+    val verifyCtes =
+      if (spark)
+        s"""withemb AS (
+           |  SELECT a.vec_id, a.cell, a.sub, e.embedding, e.nrm
+           |  FROM assign a JOIN $embSrc e ON a.vec_id = e.vec_id),
+           |dropped AS (
+           |  SELECT eb.vec_id AS vec_id, min(ea.vec_id) AS dup_of
+           |  FROM withemb ea JOIN withemb eb
+           |    ON ea.cell = eb.cell AND ea.sub = eb.sub
+           |      AND ea.vec_id < eb.vec_id
+           |  WHERE round($cosFn, 6) >= $SemThreshold
+           |  GROUP BY eb.vec_id)""".stripMargin
+      else
+        s"""pairs AS (
+           |  SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb
+           |  FROM assign a JOIN assign b
+           |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id),
+           |scored AS (
+           |  SELECT cell, ida, idb, round($cosFn, 6) AS cos
+           |  FROM pairs JOIN $embSrc ea ON pairs.ida = ea.vec_id
+           |             JOIN $embSrc eb ON pairs.idb = eb.vec_id),
+           |dropped AS (
+           |  SELECT idb AS vec_id, min(ida) AS dup_of
+           |  FROM scored WHERE cos >= $SemThreshold GROUP BY idb)""".stripMargin
     s"""WITH $ctes
        |cellsz AS (SELECT cell, count(*) AS cn FROM $aFin GROUP BY cell),
        |mem AS (
@@ -640,17 +713,7 @@ object VectorQueries {
        |      JOIN $embSrc es ON s.seed_id = es.vec_id
        |    WHERE m.ks > 1) t
        |  WHERE rr = 1),
-       |pairs AS (
-       |  SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb
-       |  FROM assign a JOIN assign b
-       |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id),
-       |scored AS (
-       |  SELECT cell, ida, idb, round($cosFn, 6) AS cos
-       |  FROM pairs JOIN $embSrc ea ON pairs.ida = ea.vec_id
-       |             JOIN $embSrc eb ON pairs.idb = eb.vec_id),
-       |dropped AS (
-       |  SELECT idb AS vec_id, min(ida) AS dup_of
-       |  FROM scored WHERE cos >= $SemThreshold GROUP BY idb)
+       |$verifyCtes
        |SELECT a.vec_id, a.cell, d.dup_of,
        |  CAST(d.dup_of IS NULL AS BOOLEAN) AS keep
        |FROM $aFin a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
