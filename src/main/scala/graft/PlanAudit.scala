@@ -63,12 +63,28 @@ object PlanAudit {
   private val KernelNames =
     Seq("sign_lsh_buckets", "winnow_fp", "simhash_fp", "cosine_sim",
       "dot_product")
+
+  /** A kernel *invocation* in a plan line — `name(` — as opposed to the
+    * name appearing as a substring of something else. Round 10: the
+    * persisted fingerprint export directory is literally named
+    * `simhash_fp`, so d07/d08's FileScan `Location: InMemoryFileIndex
+    * [.../simhash_fp]` line matched the old bare-substring check and
+    * tripped the spread gate on a pure parquet read (a leaf line has no
+    * exchange below it by construction). Requiring the call syntax keeps
+    * every genuine kernel expression matched — Catalyst always renders
+    * them as `name(args...)` in Project/Filter/Join text — while paths
+    * (`.../simhash_fp]`) and attributes aliased to a kernel name
+    * (`simhash_fp#12`) no longer count.
+    */
+  private def kernelCallIn(line: String, names: Seq[String]): Boolean =
+    names.exists(n => line.contains(n + "("))
+
   private[graft] def kernelFilterFlag(plan: String): Boolean =
     plan.linesIterator.exists { l =>
       val t = l.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-')
       (t.startsWith("Filter ") || t.startsWith("*Filter ") ||
         "^\\*\\(\\d+\\) Filter ".r.findFirstIn(t).isDefined) &&
-        KernelNames.exists(t.contains)
+        kernelCallIn(t, KernelNames)
     }
 
   /** Catalyst also substitutes kernel expressions into JOIN conditions when
@@ -87,7 +103,7 @@ object PlanAudit {
   private[graft] def kernelJoinFlag(plan: String): Boolean =
     plan.linesIterator.exists { l =>
       val t = l.trim
-      t.contains("Join") && KernelNames.exists(t.contains)
+      t.contains("Join") && kernelCallIn(t, KernelNames)
     }
 
   /** Kernels riding the rows-not-bytes spread contract: the dense vector
@@ -118,7 +134,7 @@ object PlanAudit {
       val j = l.indexOf(":- ")
       if (i < 0) j else if (j < 0) i else math.min(i, j)
     }
-    val ks = lines.indices.filter(i => SpreadKernelNames.exists(lines(i).contains))
+    val ks = lines.indices.filter(i => kernelCallIn(lines(i), SpreadKernelNames))
     ks.forall { i =>
       val d = depth(lines(i))
       var j = i + 1

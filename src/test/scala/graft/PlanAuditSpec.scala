@@ -103,6 +103,40 @@ class PlanAuditSpec extends AnyFunSuite {
       "Project [nfc_normalize(text) AS t]\n+- FileScan parquet"))
   }
 
+  test("gates match kernel CALLS, not kernel-named scan paths or aliases") {
+    // round-9 regression: the persisted fingerprint export dir is named
+    // `simhash_fp`, so d07/d08's pure-parquet-read plan carried the kernel
+    // name in its FileScan Location line; the leaf has no exchange below
+    // it, so the old substring matcher failed the spread gate on an ideal
+    // plan (PlanAudit exited 1 at HEAD). A path is not an invocation.
+    val pureScan =
+      """*(1) Project [doc_id#1L, fp#2L]
+        |+- *(1) ColumnarToRow
+        |   +- FileScan parquet [doc_id#1L,fp#2L] Batched: true, """.stripMargin +
+        "Location: InMemoryFileIndex(1 paths)[file:/tmp/graft-exports/" +
+        "simhash_fp/c-abc123], ReadSchema: struct<doc_id:bigint,fp:bigint>"
+    assert(PlanAudit.kernelAboveSpreadOk(pureScan),
+      "a kernel-named export path in a FileScan Location must not trip the spread gate")
+    // same immunity for an attribute merely ALIASED to a kernel name
+    assert(PlanAudit.kernelAboveSpreadOk(
+      "*(2) Filter (simhash_fp#12L > 0)\n+- FileScan parquet [simhash_fp#12L]"))
+    assert(!PlanAudit.kernelFilterFlag(
+      "Filter (simhash_fp#12L > 0)\n+- FileScan parquet"))
+    assert(!PlanAudit.kernelJoinFlag(
+      "SortMergeJoin [simhash_fp#12L], [simhash_fp#44L], Inner"))
+    // and the other direction: a genuine sunk INVOCATION still fails —
+    // the gate must not have been loosened into blindness
+    val sunkCall =
+      """*(1) Project [simhash_fp(text#3, 64) AS fp#9L]
+        |+- FileScan parquet [text#3] Location: InMemoryFileIndex[/data/docs]""".stripMargin
+    assert(!PlanAudit.kernelAboveSpreadOk(sunkCall),
+      "a real kernel call with no spread below must still fail")
+    assert(PlanAudit.kernelFilterFlag(
+      "Filter (simhash_fp(text#3, 64) > 0)\n+- FileScan parquet"))
+    assert(PlanAudit.kernelJoinFlag(
+      "BroadcastHashJoin [a], [b], Inner, (cosine_sim(va#1, vb#2) >= 0.4)"))
+  }
+
   test("join-condition kernel gate: fires on a kernel in a join condition") {
     // string-level predicate (the probed e04/e05 shape); the whitelist is
     // exercised by PlanAudit's main over the real suite
