@@ -18,10 +18,18 @@ object GraftSession {
   private[graft] val ChildTagKey = "graft.internal.childTag"
 
   // one child per (parent, tag); weak on the parent so a stopped session's
-  // children are collectable
+  // children are collectable. The per-parent map is LRU-BOUNDED (round-10
+  // advice): RelationalQueries folds the corpus dir into the tag, so a
+  // long-lived JVM iterating corpora would otherwise grow one child per
+  // (tag, corpus) forever. An evicted child keeps working for anyone still
+  // holding it (it's just a session over the shared SparkContext); a
+  // re-request under its tag simply builds a fresh child with the conf
+  // re-applied — the tag-separation race invariant is about not SHARING
+  // one mutable SQLConf across postures, which eviction never causes.
+  private val MaxChildrenPerParent = 48
   private val children =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, SparkSession]]()
+      java.util.LinkedHashMap[String, SparkSession]]()
 
   /** Posture-tuned child session: same SparkContext (same executors, same
     * cache/checkpoint blocks), PRIVATE SQLConf — the one consolidated
@@ -63,20 +71,24 @@ object GraftSession {
             listingThreshold: Option[Int] = None): SparkSession = {
     val s =
       if (parent.conf.getOption(ChildTagKey).contains(tag)) parent
-      else {
-        val perParent = children.synchronized {
-          var m = children.get(parent)
-          if (m == null) {
-            m = new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
-            children.put(parent, m)
+      else children.synchronized {
+        var m = children.get(parent)
+        if (m == null) {
+          // access-ordered so eviction drops the least-recently-USED tag
+          m = new java.util.LinkedHashMap[String, SparkSession](16, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, SparkSession]): Boolean =
+              size() > MaxChildrenPerParent
           }
-          m
+          children.put(parent, m)
         }
-        perParent.computeIfAbsent(tag, _ => {
-          val c = parent.newSession()
+        var c = m.get(tag)
+        if (c == null) {
+          c = parent.newSession()
           c.conf.set(ChildTagKey, tag)
-          c
-        })
+          m.put(tag, c)
+        }
+        c
       }
     s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
     shufflePartitions.foreach(n =>

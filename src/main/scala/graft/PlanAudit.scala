@@ -61,8 +61,8 @@ object PlanAudit {
     * recreating it, or a hand-written kernel predicate).
     */
   private val KernelNames =
-    Seq("sign_lsh_buckets", "winnow_fp", "simhash_fp", "cosine_sim",
-      "dot_product")
+    Seq("sign_lsh_buckets", "winnow_fp", "winnow_fp_set", "simhash_fp",
+      "cosine_sim", "dot_product")
 
   /** A kernel *invocation* in a plan line — `name(` — as opposed to the
     * name appearing as a substring of something else. Round 10: the

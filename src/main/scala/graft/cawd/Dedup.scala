@@ -109,14 +109,39 @@ object Dedup {
             // hands parquet an In as a LEFT-LEANING or-of-eq chain whose
             // evaluators recurse once per node — a single 4096-value In
             // overflowed the 1 MB task stack (measured) — so the probe is
-            // CHUNKED: sort by bucket, slice into ≤[[InPushdownChunk]]-sig
+            // CHUNKED: pack WHOLE buckets into ≤[[InPushdownChunk]]-sig
             // scans, each pruned to its own chunk's buckets, union the
-            // results. Bucket-sorting means the chunks' bucket sets
-            // partition the touched buckets, so the union reads the same
-            // files ONCE each — same total I/O as one big filter, ~500
-            // stack frames per scan instead of ~10 000.
-            val byBucket = capped.sortBy(_.getInt(1))
-            val hits = byBucket.grouped(InPushdownChunk).map { chunk =>
+            // results. Packing whole buckets (not just bucket-sorting —
+            // round-10 advice: a sorted slice could still straddle a
+            // bucket across two chunks, scanning that bucket's files
+            // twice) makes the chunks' bucket sets DISJOINT, so the union
+            // reads the same files ONCE each — same total I/O as one big
+            // filter, ~500 stack frames per scan instead of ~10 000. The
+            // one exception: a single bucket whose own sig count exceeds
+            // the chunk cap (needs ~32× skew over the cap/256 expected
+            // fill) is split alone and its files scan once per slice —
+            // the unavoidable cost of the stack-depth bound.
+            val packed = {
+              val buf = scala.collection.mutable.ArrayBuffer
+                .empty[Array[org.apache.spark.sql.Row]]
+              val cur = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.Row]
+              capped.groupBy(_.getInt(1)).toSeq.sortBy(_._1).foreach {
+                case (_, rows) =>
+                  if (rows.length >= InPushdownChunk) {
+                    if (cur.nonEmpty) { buf += cur.toArray; cur.clear() }
+                    rows.grouped(InPushdownChunk).foreach(g => buf += g)
+                  } else {
+                    if (cur.length + rows.length > InPushdownChunk) {
+                      buf += cur.toArray; cur.clear()
+                    }
+                    cur ++= rows
+                  }
+              }
+              if (cur.nonEmpty) buf += cur.toArray
+              buf.toSeq
+            }
+            val hits = packed.iterator.map { chunk =>
               s.filter(
                 col(StreamingEngine.SigBucketCol)
                   .isin(chunk.map(_.getInt(1)).distinct.toSeq: _*) &&

@@ -50,12 +50,20 @@ object StreamingEngine {
     */
   val NumSigBuckets = 256
 
-  /** Batches up to this many files rank with a single window job; larger
-    * backfills use the distributed sort (see [[processBatch]]). `var` as a
-    * test seam only: StreamingSpec lowers it to drive a 3-file "backfill"
-    * through the large branch without creating 2²⁰ files.
+  /** Conf key: batches up to this many files rank with a single bounded
+    * driver collect; larger backfills use the distributed sort (see
+    * [[processBatch]]). A session conf, not mutable global state (round-10
+    * advice — the old `var` test seam leaked across every suite sharing
+    * the JVM): StreamingSpec lowers it on its own session to drive a
+    * 3-file "backfill" through the large branch without creating 2²⁰
+    * files, and a real deployment can tune it per stream the same way.
     */
-  private[cawd] var MaxWindowRankFiles: Long = 1L << 20
+  private[cawd] val MaxWindowRankFilesKey =
+    "spark.graft.streaming.maxWindowRankFiles"
+  private[cawd] val DefaultMaxWindowRankFiles: Long = 1L << 20
+  private[cawd] def maxWindowRankFiles(s: SparkSession): Long =
+    s.conf.getOption(MaxWindowRankFilesKey).map(_.toLong)
+      .getOrElse(DefaultMaxWindowRankFiles)
 
   /** Deterministic signature → bucket assignment, usable on both the write
     * path and the probe's pruning filter.
@@ -240,6 +248,10 @@ object StreamingEngine {
     // job, and foreachBatch inherits the same conf. File count per batch
     // is unknown here; processBatch re-sizes shuffle partitions per batch.
     val sess = latencySession(spark, spark.sparkContext.defaultParallelism)
+    // child sessions carry a private SQLConf that does not see parent
+    // runtime confs — carry the caller's rank-strategy tuning across
+    spark.conf.getOption(MaxWindowRankFilesKey)
+      .foreach(v => sess.conf.set(MaxWindowRankFilesKey, v))
     val files = sess.readStream
       .format("binaryFile")
       .schema(org.apache.spark.sql.execution.datasources.binaryfile.BinaryFileFormat.schema)
@@ -323,11 +335,12 @@ object StreamingEngine {
     // Larger backfills fall back to the fully distributed range-partitioned
     // sort (no driver collect beyond the capped probe, no exact count —
     // the cap probe IS the strategy pick).
+    val maxRankFiles = maxWindowRankFiles(spark)
     val headPaths = batch.select(col("path"))
-      .limit(MaxWindowRankFiles.toInt + 1)
+      .limit(maxRankFiles.toInt + 1)
       .collect().map(_.getString(0).replaceFirst("^file:", ""))
     if (headPaths.isEmpty) return
-    val small = headPaths.length <= MaxWindowRankFiles
+    val small = headPaths.length <= maxRankFiles
     // Large backfills must NOT inherit the latency posture this batch's
     // session may carry (the stream runs ON the latency child, whose last
     // micro-batch can have left shuffle.partitions as low as 2): a

@@ -37,20 +37,33 @@ object MediaQueries {
   /** Documents row count straight from the parquet footers — no Spark job;
     * sizes the blob-export decision below.
     */
+  /** Memoized per corpus CONTENT fingerprint — (dir, file count, total
+    * bytes, max mtime) from ONE cheap listStatus — so the media family's
+    * repeated [[blobsPersisted]] gates (mediaExport + each m0x derivation)
+    * cost one listing each instead of re-opening every parquet footer on
+    * the driver per call (round-10 advice). A rewritten corpus changes the
+    * fingerprint and re-counts; the memo is tiny (one entry per distinct
+    * corpus state) but cleared at 64 entries as a leak bound anyway.
+    */
+  private val rowCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Long), Long]()
   private def docRowCount(s: SparkSession, d: String): Long = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$d/documents.parquet")
     val conf = s.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val files = if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath).toSeq
-    else Seq(p)
-    files.map { f =>
+    val st = fs.getFileStatus(p)
+    val files = if (st.isDirectory)
+      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+    else Seq(st)
+    val key = (d, files.length, files.map(_.getLen).sum,
+      files.foldLeft(0L)((a, f) => math.max(a, f.getModificationTime)))
+    if (rowCountMemo.size > 64) rowCountMemo.clear()
+    rowCountMemo.computeIfAbsent(key, _ => files.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
       try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
-    }.sum
+    }.sum)
   }
 
   /** Blobs average ~20 KB/doc (measured 9.3 GB / 500 k docs at the 100×

@@ -137,6 +137,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "BroadcastHashJoin [a], [b], Inner, (cosine_sim(va#1, vb#2) >= 0.4)"))
   }
 
+  test("winnow_fp_set is a kernel in its own right under call-syntax matching") {
+    // round-10 advice: `"winnow_fp_set("` does not contain `"winnow_fp("`,
+    // so the call-syntax matcher silently dropped the SET form — d26's
+    // `explode(winnow_fp_set(text))` (the only Generate-over-kernel query,
+    // the exact shape the filter gate was built for) would have merged a
+    // documentsDense-dropping refactor with no gate tripping. The set form
+    // must be a first-class KernelNames entry.
+    val sunkSet =
+      """Generate posexplode(winnow_fp_set(text#3, 8)), [doc_id#1L], false
+        |+- FileScan parquet [doc_id#1L,text#3] Location: InMemoryFileIndex[/data/docs]""".stripMargin
+    assert(!PlanAudit.kernelAboveSpreadOk(sunkSet),
+      "a sunk winnow_fp_set( invocation must fail the spread gate")
+    assert(PlanAudit.kernelAboveSpreadOk(
+      """Generate posexplode(winnow_fp_set(text#3, 8)), [doc_id#1L], false
+        |+- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM
+        |   +- FileScan parquet [doc_id#1L,text#3]""".stripMargin))
+    assert(PlanAudit.kernelFilterFlag(
+      "Filter (size(winnow_fp_set(text#3, 8)) > 0)\n+- FileScan parquet"))
+    assert(PlanAudit.kernelJoinFlag(
+      "SortMergeJoin [k], [k], Inner, (winnow_fp_set(ta#1, 8) = winnow_fp_set(tb#2, 8))"))
+    // path/alias immunity holds for the set form too
+    assert(PlanAudit.kernelAboveSpreadOk(
+      "FileScan parquet [fp#2L] Location: InMemoryFileIndex[/tmp/exports/winnow_fp_set/c-1]"))
+    assert(!PlanAudit.kernelFilterFlag(
+      "Filter (winnow_fp_set#12 > 0)\n+- FileScan parquet"))
+  }
+
   test("join-condition kernel gate: fires on a kernel in a join condition") {
     // string-level predicate (the probed e04/e05 shape); the whitelist is
     // exercised by PlanAudit's main over the real suite

@@ -136,7 +136,6 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.copy(f.toPath, new java.io.File(inDir, s"f$i.parquet").toPath)
     }
     val paths = new java.io.File(inDir).listFiles().map(f => s"file:${f.getAbsolutePath}")
-    val saved = StreamingEngine.MaxWindowRankFiles
     graft.StreamingPlanCapture.enabled = true
     try {
       // small branch first (f0 only): latency posture, no AdaptiveSparkPlan
@@ -153,7 +152,7 @@ class StreamingSpec extends AnyFunSuite {
       // whole chunk/probe/write pipeline must plan on the backfill child
       // (AQE ON) — round-8 advice: building `ranked` from the incoming
       // batch's lineage left everything on the latency child's SQLConf.
-      StreamingEngine.MaxWindowRankFiles = 2L
+      spark.conf.set(StreamingEngine.MaxWindowRankFilesKey, "2")
       graft.StreamingPlanCapture.reset()
       StreamingEngine.processBatch(spark, paths.toSeq.toDF("path"), 1L,
         store, stats, CawdEngine.Parquet)
@@ -176,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
           s"clustered backfill write must land one file per bucket, got ${perBucket.toSeq}")
       }
     } finally {
-      StreamingEngine.MaxWindowRankFiles = saved
+      spark.conf.unset(StreamingEngine.MaxWindowRankFilesKey)
       graft.StreamingPlanCapture.enabled = false
       graft.StreamingPlanCapture.reset()
       spark.stop()
