@@ -112,7 +112,14 @@ object RelationalQueries {
     }),
 
     // Multi-way join + agg; dims broadcast (nation/customer small at any SF).
-    "q04_revenue_by_nation" -> ((s, d) => {
+    "q04_revenue_by_nation" -> ((s0, d) => {
+      // the l⋈o shuffle carries every lineitem row; on the parent's fixed
+      // cores-sized partition count it spills past ~10⁸ rows (isolated
+      // 1000×: 107 s with TaskMemoryManager page-allocation failures, a
+      // 10.4× growth on 10× data) — size the shuffle from lineitem's
+      // bytes like q08's big agg (the per-job sizing the GraftSession
+      // shuffle-partitions comment prescribes)
+      val s = sizedForInput(s0, "q04-bigjoin", d, "lineitem")
       val l = lineitem(s, d); val o = orders(s, d)
       val c = customer(s, d); val n = nation(s, d)
       l.join(o, col("l_orderkey") === col("o_orderkey"))

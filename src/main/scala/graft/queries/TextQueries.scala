@@ -673,31 +673,53 @@ object TextQueries {
       graft.cawd.CawdExport.materializePersistentDf(s, d, "kmv_sketch",
         fpCorpusKey(s, d) + s":kmv:k=$KmvK:v2", {
           documents(s, d).createOrReplaceTempView("documents")
-          s.sql(
-            s"""WITH raw AS (
-               |  SELECT lang, md5(s) AS h
+          val rawSql =
+            s"""SELECT lang, md5(s) AS h
                |  FROM (SELECT lang, explode($shingleExpr) AS s
-               |        FROM (SELECT lang, split(text, ' ') AS w FROM documents) ww) x),
-               |counts AS (
-               |  SELECT lang, count(DISTINCT unhex(h)) AS exact_distinct
-               |  FROM raw GROUP BY lang),
-               |cand AS (
-               |  SELECT DISTINCT r.lang, r.h
-               |  FROM raw r JOIN counts c ON r.lang = c.lang
-               |  WHERE c.exact_distinct <= ${8 * KmvK}
-               |    OR ${hexFractionSql("r.h", "instr")} <
-               |       CAST(${8 * KmvK} AS DOUBLE) / c.exact_distinct),
-               |ranked AS (
-               |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
-               |  FROM cand),
-               |kth AS (SELECT k.lang, k.h AS kth_h, c.exact_distinct
-               |        FROM ranked k JOIN counts c ON k.lang = c.lang
-               |        WHERE k.r = least($KmvK, c.exact_distinct))
-               |SELECT lang, exact_distinct,
-               |  CASE WHEN exact_distinct < $KmvK THEN exact_distinct
-               |    ELSE CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "instr")}, 0)
-               |      AS BIGINT) END AS kmv_estimate
-               |FROM kth""".stripMargin)
+               |        FROM (SELECT lang, split(text, ' ') AS w FROM documents) ww) x"""
+              .stripMargin
+          // The exact per-lang distinct count is the one irreducible
+          // shuffle (it is an output column) — run it ONCE and inline the
+          // ≤#langs result rows as a VALUES literal: as a CTE it was
+          // referenced by both the candidate filter and the kth-row
+          // lookup, and Spark inlines CTEs, so the 74 s count-distinct
+          // subtree executed TWICE (measured: 257 s cold at 1000×, worse
+          // than the windowed original). The collect is bounded by lang
+          // cardinality (single digits), the same bounded-collect pattern
+          // as the streaming probe cap.
+          val counts = s.sql(
+            s"""SELECT lang, count(DISTINCT unhex(h)) AS n
+               |FROM ($rawSql) raw GROUP BY lang""".stripMargin).collect()
+          if (counts.isEmpty)
+            s.sql("SELECT '' AS lang, CAST(0 AS BIGINT) AS exact_distinct, " +
+              "CAST(0 AS BIGINT) AS kmv_estimate WHERE false")
+          else {
+            val values = counts.map(r =>
+              s"('${r.getString(0).replace("'", "''")}', " +
+                s"CAST(${r.getLong(1)} AS BIGINT))").mkString(", ")
+            s.sql(
+              s"""WITH counts AS (
+                 |  SELECT lang, exact_distinct
+                 |  FROM (VALUES $values) AS t(lang, exact_distinct)),
+                 |raw AS ($rawSql),
+                 |cand AS (
+                 |  SELECT DISTINCT r.lang, r.h
+                 |  FROM raw r JOIN counts c ON r.lang = c.lang
+                 |  WHERE c.exact_distinct <= ${8 * KmvK}
+                 |    OR ${hexFractionSql("r.h", "instr")} <
+                 |       CAST(${8 * KmvK} AS DOUBLE) / c.exact_distinct),
+                 |ranked AS (
+                 |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+                 |  FROM cand),
+                 |kth AS (SELECT k.lang, k.h AS kth_h, c.exact_distinct
+                 |        FROM ranked k JOIN counts c ON k.lang = c.lang
+                 |        WHERE k.r = least($KmvK, c.exact_distinct))
+                 |SELECT lang, exact_distinct,
+                 |  CASE WHEN exact_distinct < $KmvK THEN exact_distinct
+                 |    ELSE CAST(round(($KmvK - 1) / ${hexFractionSql("kth_h", "instr")}, 0)
+                 |      AS BIGINT) END AS kmv_estimate
+                 |FROM kth""".stripMargin)
+          }
         })),
 
     // Decontamination (benchmark-overlap detection): flag every training
