@@ -360,7 +360,12 @@ object VectorQueries {
     * C = N^0.6 / N^0.7 against the √N default — at √N both the cell count
     * AND the mean cell population grow as √N, so e05's within-cell pair
     * work grows as N^1.5; a larger exponent caps population growth at
-    * N^(1-exp) and bends the verify curve (see SCALE.md, e05 retune).
+    * N^(1-exp) and bends the verify curve (see SCALE.md, e05 retune —
+    * measured at 2 M vectors: training ∝ C dominates, so raising the
+    * exponent is strictly dominated; √N stays the default). The
+    * expression must be AGGREGATE-shaped (it runs as
+    * `SELECT CAST(<expr> AS INT) FROM embeddings` inside a scalar
+    * subquery): use `least(1, count(*))`, not a bare literal.
     */
   private[graft] val DefaultCellExpr = "ceil(sqrt(count(*)))"
 

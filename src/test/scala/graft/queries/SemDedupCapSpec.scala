@@ -77,6 +77,35 @@ class SemDedupCapSpec extends AnyFunSuite {
     uncapped.unpersist(); capped.unpersist()
   }
 
+  test("cellExpr retune knob: finer clustering drops a subset of the " +
+    "all-pairs reference; default is the production sqrt(N)") {
+    // round-11 retune seam: semanticDedupSql(cellExpr = ...) sweeps the
+    // cell count (E05CellProbe measures the cost/quality tradeoff at 2 M
+    // vectors). Property: ANY clustering's drop set is a subset of the
+    // uncapped single-cell (all-pairs) reference — dropping needs a
+    // smaller-id cos≥t neighbor in the SAME cell, and the single cell
+    // contains every pair — so raising the exponent can only lose dups,
+    // never invent them.
+    makeEmbeddings()
+    // cellExpr must be AGGREGATE-shaped (it selects FROM embeddings into
+    // a scalar subquery) — a bare literal would return one row per vector
+    val allPairs = spark.sql(VectorQueries.semanticDedupSql(spark = true,
+      capExpr = "1000000", cellExpr = "least(1, count(*))")).cache()
+    val fine = spark.sql(VectorQueries.semanticDedupSql(spark = true,
+      capExpr = "1000000",
+      cellExpr = "ceil(power(count(*), 0.7))")).cache()
+    assert(allPairs.count() === 400 && fine.count() === 400)
+    val dropsAll = allPairs.filter(!col("keep"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropsFine = fine.filter(!col("keep"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropsFine.subsetOf(dropsAll),
+      s"finer cells must only LOSE dups; extra = ${dropsFine -- dropsAll}")
+    assert(VectorQueries.DefaultCellExpr === "ceil(sqrt(count(*)))",
+      "production default must stay the √N schedule e03 shares")
+    allPairs.unpersist(); fine.unpersist()
+  }
+
   test("Bresenham seed pick matches Scala re-computation") {
     // for a cell of cn members ranked 0..cn-1 and ks sub-seeds, SQL picks
     // rank r iff (r*ks) % cn < ks, with seed index (r*ks - (r*ks)%cn)/cn.
