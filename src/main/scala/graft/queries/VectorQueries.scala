@@ -389,8 +389,63 @@ object VectorQueries {
     * DOUBLES end-to-end (cosine_sim's double-array side exists for this);
     * cos parity with the SQL sum is the same round-6 contract e01 uses.
     */
-  private def ivfAssignCtesSpark(trainSample: Boolean, last: Int,
-                                 cellExpr: String): (String, String, String) = {
+  /** The `params` CTE shared by every IVF consumer: cell count C from
+    * `cellExpr` and the npr = max([[IvfProbes]], ceil(1.3·C^0.65)) probe
+    * schedule. Same string in both engines.
+    */
+  private def paramsCte(cellExpr: String): String =
+    s"""params AS (
+       |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65) - 1e-9) AS INT)) AS npr
+       |  FROM (SELECT CAST($cellExpr AS INT) AS c FROM embeddings) pt)""".stripMargin
+
+  // Norm-factored scoring: cosine_sim fuses dot + BOTH norms per
+  // comparison, but each norm depends on one side only — on the N·C cell
+  // matrix that recomputation triples the hot-loop flops. The row norm
+  // is computed once per vector (below the explode, where CollapseProject
+  // cannot reach across the Generate), the cell norm once per cell
+  // (aggregate HOF folds cvec left-to-right, the same order as the
+  // kernel's accumulator), and the quotient dot/(nrm·cnrm) is the
+  // IDENTICAL double expression cosine_sim evaluates — bit-equal, not
+  // approximately equal (CosineParitySpec). nullif maps zero norms to
+  // null exactly like cosine_sim (the factors are non-negative).
+  private def ivfScoreCte(name: String, cellsOf: String, src: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cc.cell AS cell,
+       |    round(dot_product(embedding, cc.cvec)
+       |          / nullif(nrm * cc.cnrm, 0), 6) AS cos
+       |  FROM (SELECT vec_id, embedding,
+       |          sqrt(dot_product(embedding, embedding)) AS nrm FROM $src) en
+       |  LATERAL VIEW explode((SELECT cells FROM $cellsOf)) t AS cc)"""
+
+  // Cell assignment = per-vector argmax as a HASH AGGREGATE, not a
+  // window: row_number() r=1 over the N·C scored relation plans as a
+  // full Sort of N·C rows (the dominant e03/e05/e07 cost at 100× —
+  // two ~11-G-row sorts dwarfed the kernel flops they ranked), while
+  // max(struct(cos, -cell)) reduces map-side inside the scoring stage
+  // to one row per vector before the exchange. Tie-break parity with
+  // the window form (and the oracle's row_number): struct comparison is
+  // lexicographic, so max cos wins, equal cos takes max(-cell) = min
+  // cell; a null cos (zero-norm) maps to -Infinity, ranking last like
+  // NULLS LAST — identical winner in every case.
+  private def ivfArgmaxCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, CAST(-mx.nc AS INT) AS cell FROM (
+       |    SELECT vec_id,
+       |      max(struct(coalesce(cos, CAST('-Infinity' AS DOUBLE)) AS c,
+       |                 -cell AS nc)) AS mx
+       |    FROM $src GROUP BY vec_id) t)"""
+
+  /** Prefix CTEs: params/flat/[sample]/seed assignment plus `fullIters`
+    * COMPLETE k-medians rounds (medians → centroid list → scoring →
+    * argmax), trailing comma included. [[ivfAssignCtesSpark]] runs all
+    * [[IvfIterations]] rounds; [[ivfCentroidsSqlSpark]] stops the loop one
+    * round short and appends only the final median/centroid aggregation —
+    * the persisted index needs cl_last but not the final N·C scoring pass
+    * (that pass IS the assign build, materialized separately so the cold
+    * build pays exactly one full training, same flops as the inline form).
+    */
+  private def ivfPrefixCtesSpark(trainSample: Boolean, fullIters: Int,
+                                 cellExpr: String): String = {
     val trainSrc = if (trainSample) "tflat" else "flat"
     val seedSrc = if (trainSample) "samp" else "embeddings"
     val trainEmb = if (trainSample)
@@ -403,42 +458,7 @@ object VectorQueries {
          |          substr(md5(CAST(vec_id AS STRING)), 1, 1)) - 1 < 8),
          |tflat AS (SELECT f.vec_id, f.i, f.x FROM flat f JOIN samp USING (vec_id)),
          |""".stripMargin
-    // Norm-factored scoring: cosine_sim fuses dot + BOTH norms per
-    // comparison, but each norm depends on one side only — on the N·C cell
-    // matrix that recomputation triples the hot-loop flops. The row norm
-    // is computed once per vector (below the explode, where CollapseProject
-    // cannot reach across the Generate), the cell norm once per cell
-    // (aggregate HOF folds cvec left-to-right, the same order as the
-    // kernel's accumulator), and the quotient dot/(nrm·cnrm) is the
-    // IDENTICAL double expression cosine_sim evaluates — bit-equal, not
-    // approximately equal (CosineParitySpec). nullif maps zero norms to
-    // null exactly like cosine_sim (the factors are non-negative).
-    def score(name: String, cellsOf: String, src: String) =
-      s"""$name AS (
-         |  SELECT vec_id, cc.cell AS cell,
-         |    round(dot_product(embedding, cc.cvec)
-         |          / nullif(nrm * cc.cnrm, 0), 6) AS cos
-         |  FROM (SELECT vec_id, embedding,
-         |          sqrt(dot_product(embedding, embedding)) AS nrm FROM $src) en
-         |  LATERAL VIEW explode((SELECT cells FROM $cellsOf)) t AS cc)"""
-    // Cell assignment = per-vector argmax as a HASH AGGREGATE, not a
-    // window: row_number() r=1 over the N·C scored relation plans as a
-    // full Sort of N·C rows (the dominant e03/e05/e07 cost at 100× —
-    // two ~11-G-row sorts dwarfed the kernel flops they ranked), while
-    // max(struct(cos, -cell)) reduces map-side inside the scoring stage
-    // to one row per vector before the exchange. Tie-break parity with
-    // the window form (and the oracle's row_number): struct comparison is
-    // lexicographic, so max cos wins, equal cos takes max(-cell) = min
-    // cell; a null cos (zero-norm) maps to -Infinity, ranking last like
-    // NULLS LAST — identical winner in every case.
-    def argmax(name: String, src: String) =
-      s"""$name AS (
-         |  SELECT vec_id, CAST(-mx.nc AS INT) AS cell FROM (
-         |    SELECT vec_id,
-         |      max(struct(coalesce(cos, CAST('-Infinity' AS DOUBLE)) AS c,
-         |                 -cell AS nc)) AS mx
-         |    FROM $src GROUP BY vec_id) t)"""
-    val iters = (1 to IvfIterations).map { it =>
+    val iters = (1 to fullIters).map { it =>
       s"""c$it AS (
          |  SELECT cell, i, round(percentile(x, 0.5), 6) AS cx
          |  FROM $trainSrc JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
@@ -450,26 +470,29 @@ object VectorQueries {
          |      SELECT cell,
          |        transform(array_sort(collect_list(struct(i, cx))), e -> e.cx) AS cvec
          |      FROM c$it GROUP BY cell) cv)),
-         |${score(s"s$it", s"cl$it", trainEmb)},
-         |${argmax(s"a$it", s"s$it")},""".stripMargin
+         |${ivfScoreCte(s"s$it", s"cl$it", trainEmb)},
+         |${ivfArgmaxCte(s"a$it", s"s$it")},""".stripMargin
     }.mkString("\n")
+    s"""${paramsCte(cellExpr)},
+       |flat AS (
+       |  SELECT vec_id, i, CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) AS x
+       |  FROM embeddings LATERAL VIEW explode(sequence(1, size(embedding))) t AS i),
+       |${sampleCtes}a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
+       |       FROM $seedSrc),
+       |$iters""".stripMargin
+  }
+
+  private def ivfAssignCtesSpark(trainSample: Boolean, last: Int,
+                                 cellExpr: String): (String, String, String) = {
+    val prefix = ivfPrefixCtesSpark(trainSample, last, cellExpr)
     // sampled training adds ONE final full-corpus scoring/assignment pass
     // against the last trained centroids; full training reuses the last
     // round's relations directly (no extra pass)
     val finalCtes = if (!trainSample) "" else
       s"""
-         |${score("sfull", s"cl$last", "embeddings")},
-         |${argmax("afull", "sfull")},""".stripMargin
-    val ctes =
-      s"""params AS (
-         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65) - 1e-9) AS INT)) AS npr
-         |  FROM (SELECT CAST($cellExpr AS INT) AS c FROM embeddings) pt),
-         |flat AS (
-         |  SELECT vec_id, i, CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) AS x
-         |  FROM embeddings LATERAL VIEW explode(sequence(1, size(embedding))) t AS i),
-         |${sampleCtes}a0 AS (SELECT vec_id, CAST(vec_id % (SELECT c FROM params) AS INT) AS cell
-         |       FROM $seedSrc),
-         |$iters$finalCtes""".stripMargin
+         |${ivfScoreCte("sfull", s"cl$last", "embeddings")},
+         |${ivfArgmaxCte("afull", "sfull")},""".stripMargin
+    val ctes = prefix + finalCtes
     if (trainSample) (ctes, "sfull", "afull") else (ctes, s"s$last", s"a$last")
   }
 
@@ -516,9 +539,7 @@ object VectorQueries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
          |    FROM sfull) t WHERE r = 1),""".stripMargin
     val ctes =
-      s"""params AS (
-         |  SELECT c, greatest($IvfProbes, CAST(ceil(1.3 * power(c, 0.65) - 1e-9) AS INT)) AS npr
-         |  FROM (SELECT CAST($cellExpr AS INT) AS c FROM embeddings) pt),
+      s"""${paramsCte(cellExpr)},
          |flat AS (
          |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
          |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
@@ -545,6 +566,102 @@ object VectorQueries {
        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
        |  FROM probes p JOIN $aFin a USING (cell) WHERE p.q_id <> a.vec_id),
        |${rerankCtes(spark, "pairs")}""".stripMargin
+  }
+
+  /** PERSISTED trained-IVF index (Spark side only; the oracle keeps the
+    * full in-SQL re-derivation). The trained index is a pure function of
+    * (embeddings corpus, cell schedule, [[IvfIterations]], sample flag),
+    * yet e03, e05 and e07 each re-trained the identical k-medians index
+    * every run — at the 1000× corpus (2 M vectors) three trainings per
+    * suite plus one per Recall run, several hundred seconds each. The
+    * index persists as two tables under the e01/kmv content-key contract
+    * ([[graft.cawd.CawdExport.materializePersistentDf]]):
+    *
+    *   - `ivf_centroids_{f|s}` (cell, cvec, cnrm): the final trained
+    *     centroid list cl_last — C = ceil(√N) rows of 64 doubles, built by
+    *     running the k-medians rounds WITHOUT the final scoring pass;
+    *   - `ivf_assign_{f|s}` (vec_id, cell): every vector's final cell,
+    *     built as one N·C scoring+argmax pass against the persisted
+    *     centroids — exactly the pass inline training ran as s_last/a_last
+    *     (or sfull/afull), so the cold build pays the same total flops
+    *     and the parquet round-trip is exact (round-6 doubles, ints).
+    *
+    * Warm consumers then do only their OWN work: e03/e07 score ~500 probe
+    * vectors × C cells (not N·C) and rerank; e05 goes straight to the
+    * within-cell verify. A corpus regenerated in place changes the content
+    * hash and rebuilds; a schedule change must bump the version tag.
+    */
+  private[graft] def ivfCentroidsSqlSpark(trainSample: Boolean): String = {
+    val last = IvfIterations
+    val trainSrc = if (trainSample) "tflat" else "flat"
+    val prefix = ivfPrefixCtesSpark(trainSample, last - 1, DefaultCellExpr)
+    s"""WITH $prefix
+       |c$last AS (
+       |  SELECT cell, i, round(percentile(x, 0.5), 6) AS cx
+       |  FROM $trainSrc JOIN a${last - 1} USING (vec_id) GROUP BY cell, i)
+       |SELECT cell, cvec,
+       |  sqrt(aggregate(cvec, CAST(0 AS DOUBLE), (a, v) -> a + v * v)) AS cnrm
+       |FROM (
+       |  SELECT cell,
+       |    transform(array_sort(collect_list(struct(i, cx))), e -> e.cx) AS cvec
+       |  FROM c$last GROUP BY cell) cv""".stripMargin
+  }
+
+  /** The one final full-corpus assignment pass against the persisted
+    * centroid view — identical to inline training's s_last/a_last (full)
+    * or sfull/afull (sampled) relations.
+    */
+  private[graft] def ivfAssignFromCentroidsSql(sfx: String): String =
+    s"""WITH clp AS (
+       |  SELECT collect_list(struct(cell, cvec, cnrm)) AS cells
+       |  FROM ivf_centroids_$sfx),
+       |${ivfScoreCte("sfin", "clp", "embeddings")},
+       |${ivfArgmaxCte("afin", "sfin")}
+       |SELECT vec_id, cell FROM afin""".stripMargin
+
+  /** e03/e07 over the persisted index: score ONLY the bounded probe set
+    * against the centroid list (≈500×C rows instead of training's N·C),
+    * rank probe cells, then the same candidate join + exact rerank as the
+    * inline form. Row-for-row identical to the inline probes relation:
+    * scoring is per-row, so scoring the ProbeFilter subset equals
+    * filtering the full scored relation.
+    */
+  private def ivfSqlPersistedSpark(sfx: String): String =
+    s"""WITH $QmodCte,
+       |${paramsCte(DefaultCellExpr)},
+       |clp AS (
+       |  SELECT collect_list(struct(cell, cvec, cnrm)) AS cells
+       |  FROM ivf_centroids_$sfx),
+       |${ivfScoreCte("sq", "clp",
+            s"(SELECT vec_id, embedding FROM embeddings WHERE $ProbeFilter) qv")},
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+       |    FROM sq WHERE $ProbeFilter) t WHERE r <= (SELECT npr FROM params)),
+       |pairs AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN ivf_assign_$sfx a USING (cell) WHERE p.q_id <> a.vec_id),
+       |${rerankCtes(spark = true, "pairs")}""".stripMargin
+
+  /** Build-or-reuse the persisted index for this corpus and register the
+    * two views in the dense session; returns the view suffix. The assign
+    * build reads the centroid view registered one line above, so a cold
+    * build evaluates training exactly once across the two tables.
+    */
+  private def ivfIndexViews(s: SparkSession, d: String,
+                            trainSample: Boolean): String = {
+    val sfx = if (trainSample) "s" else "f"
+    val key = graft.cawd.CawdExport.corpusContentKey(s,
+      Seq(s"$d/embeddings.parquet"),
+      s"ivf:$sfx:iters=$IvfIterations:cells=sqrtN:v1")
+    graft.cawd.CawdExport.materializePersistentDf(s, d, s"ivf_centroids_$sfx",
+      key, s.sql(ivfCentroidsSqlSpark(trainSample)))
+      .createOrReplaceTempView(s"ivf_centroids_$sfx")
+    graft.cawd.CawdExport.materializePersistentDf(s, d, s"ivf_assign_$sfx",
+      key, s.sql(ivfAssignFromCentroidsSql(sfx)))
+      .createOrReplaceTempView(s"ivf_assign_$sfx")
+    sfx
   }
 
   /** e04 SQL, both engines: banded sign-LSH near-dup pairs (OR-construction,
@@ -644,12 +761,30 @@ object VectorQueries {
       spark: Boolean,
       capExpr: String = s"greatest($SemCellCapFloor, 4 * (SELECT c FROM params))",
       cellExpr: String = DefaultCellExpr): String = {
+    val (ctes, _, aFin) = ivfAssignCtes(spark, cellExpr = cellExpr)
+    semanticDedupBody(spark, capExpr, ctes, aFin)
+  }
+
+  /** e05 over the persisted index (default schedule only — the retune
+    * probes sweep `cellExpr` through [[semanticDedupSql]]'s inline
+    * training, which stays the value-verified derivation the oracle runs):
+    * the trained-assignment CTEs collapse to a scan of `ivf_assign_{sfx}`,
+    * so a warm run goes straight to the within-cell verify — the measured
+    * dominant term.
+    */
+  private def semanticDedupSqlPersisted(sfx: String): String =
+    semanticDedupBody(spark = true,
+      capExpr = s"greatest($SemCellCapFloor, 4 * (SELECT c FROM params))",
+      ctes = paramsCte(DefaultCellExpr) + ",",
+      aFin = s"ivf_assign_$sfx")
+
+  private def semanticDedupBody(spark: Boolean, capExpr: String,
+                                ctes: String, aFin: String): String = {
     val cosFn = if (spark) factoredCos("ea", "eb")
                 else "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
     val cosMS = if (spark) factoredCos("em", "es")
                 else "list_cosine_similarity(em.embedding::DOUBLE[], es.embedding::DOUBLE[])"
     val embSrc = if (spark) ENormSrc else "embeddings"
-    val (ctes, _, aFin) = ivfAssignCtes(spark, cellExpr = cellExpr)
     // Cell-size cap: within-cell pairs are quadratic in the HOTTEST cell —
     // at 10⁹ vectors one dense cluster landing in one k-medians cell turns
     // ~N^1.5 total work into that cell's n². Cells above cap =
@@ -769,18 +904,26 @@ object VectorQueries {
     // across engines, unlike means), then queries probe the nprobe nearest
     // cells and exact-rerank. Training here runs on the full corpus; at
     // 100 TB the standard move is to train on a sample — assignment stays
-    // the same C·N·d join either way.
-    "e03_ivf_topk" -> ((s, d) =>
-      registerEmbeddings(s, d).sql(ivfSql(spark = true))),
+    // the same C·N·d join either way. The trained index PERSISTS per
+    // corpus ([[ivfIndexViews]]) and is shared with e05: a warm run scores
+    // only the ~500 probe vectors against C cells and reranks.
+    "e03_ivf_topk" -> ((s, d) => {
+      val ds = registerEmbeddings(s, d)
+      ds.sql(ivfSqlPersistedSpark(ivfIndexViews(ds, d, trainSample = false)))
+    }),
 
     // IVF with SAMPLED training — the 100 TB shape: k-medians rounds run
     // over a deterministic ~50% md5 hash sample of the corpus (at 10⁹
     // vectors a sample is the only affordable training set), then every
     // vector pays exactly one assignment join against the trained
     // centroids. Same probe/rerank as e03; the hash sample is reproducible
-    // in DuckDB, so the sampled index is value-verified end-to-end.
-    "e07_ivf_topk_sampled" -> ((s, d) =>
-      registerEmbeddings(s, d).sql(ivfSql(spark = true, trainSample = true))),
+    // in DuckDB, so the sampled index is value-verified end-to-end. The
+    // sampled index persists under its own content key (the sample flag
+    // changes the trained centroids, so it cannot share e03's tables).
+    "e07_ivf_topk_sampled" -> ((s, d) => {
+      val ds = registerEmbeddings(s, d)
+      ds.sql(ivfSqlPersistedSpark(ivfIndexViews(ds, d, trainSample = true)))
+    }),
 
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus,
     // compare pairs ONLY within a cluster, drop every vector that has a
@@ -789,9 +932,13 @@ object VectorQueries {
     // quadratic is ~N^1.5 total comparisons corpus-wide (vs N^2 all-pairs),
     // and each cell's pair generation is an equi-join on `cell` — the same
     // bounded-bucket shape as d06/e04. At larger corpora C grows with N, so
-    // cell populations (and the per-cell quadratic) stay bounded.
-    "e05_semantic_dedup" -> ((s, d) =>
-      registerEmbeddings(s, d).sql(semanticDedupSql(spark = true))),
+    // cell populations (and the per-cell quadratic) stay bounded. Reads the
+    // SAME persisted assignment table e03 builds — literally one index per
+    // corpus — so its plan starts at the within-cell verify.
+    "e05_semantic_dedup" -> ((s, d) => {
+      val ds = registerEmbeddings(s, d)
+      ds.sql(semanticDedupSqlPersisted(ivfIndexViews(ds, d, trainSample = false)))
+    }),
 
     // Near-duplicate vector pairs: banded sign-LSH candidates + exact
     // cosine verification (embedding-space analogue of d06's MinHash-LSH;
