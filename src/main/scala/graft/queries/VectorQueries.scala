@@ -550,7 +550,7 @@ object VectorQueries {
     if (trainSample) (ctes, "sfull", "afull") else (ctes, s"s$last", s"a$last")
   }
 
-  private def ivfSql(spark: Boolean, trainSample: Boolean = false): String = {
+  private[graft] def ivfSql(spark: Boolean, trainSample: Boolean = false): String = {
     val cosFn = if (spark) FactoredCos
                 else "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)"
     val embSrc = if (spark) ENormSrc else "embeddings"
