@@ -228,6 +228,43 @@ object TextQueries {
         .filter(col("jaccard") >= JaccardThreshold)
     })
 
+  /** Persisted per-corpus BENCHMARK shingle set: the distinct 5-gram
+    * shingles of source 'src0' — the static side of every decontamination
+    * pipeline. d15, d17 and s07 each re-derived it per run (an
+    * explode+DISTINCT shuffle of the full benchmark text); like the
+    * fingerprint family it is a pure function of the documents corpus, so
+    * it materializes once per corpus under the content-key contract.
+    */
+  private[graft] def benchShingles(s: SparkSession, d: String): DataFrame =
+    graft.cawd.CawdExport.materializePersistentDf(s, d, "bench_shingles",
+      fpCorpusKey(s, d) + ":bench5:src0",
+      documentsDense(s, d)
+        .filter(col("source") === "src0")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(shingle5Expr)).as("s5"))
+        .distinct())
+
+  /** Persisted serialized Bloom filter over [[benchShingles]] (one binary
+    * row), built by Spark's native BloomFilterAggregate over xxhash64(s5)
+    * at fpp = 3% optimal bits. d15 and d17 prefilter the corpus-side
+    * shingle stream with it as a narrow codegen'd bit-test — re-entering
+    * the plan as a literal, so the prefilter costs no exchange — and the
+    * build itself (a full pass + count over the benchmark set) is now
+    * paid once per corpus instead of per query per JVM.
+    */
+  private[graft] def benchBloomBytes(s: SparkSession, d: String): Array[Byte] =
+    graft.cawd.CawdExport.materializePersistentDf(s, d, "bench_bloom",
+      fpCorpusKey(s, d) + ":bench5:src0:fpp3", {
+        val bench = benchShingles(s, d)
+        val nItems = math.max(bench.count(), 1L)
+        // m = ceil(-n·ln(p) / ln(2)^2) optimal bits at fpp = 3%
+        val nBits = math.max(64L,
+          math.ceil(-nItems * math.log(0.03) /
+            (math.log(2) * math.log(2))).toLong)
+        bench.agg(call_function("graft_bloom_agg", xxhash64(col("s5")),
+          lit(nItems), lit(nBits)).as("bf"))
+      }).head().getAs[Array[Byte]]("bf")
+
   /** PPJoin candidate pairs (ida, idb, na, nb) from a ranked shingle table
     * — prefix index + length filter + positional filter, all exact (no
     * candidate that could verify is ever pruned).
@@ -725,27 +762,29 @@ object TextQueries {
     // Decontamination (benchmark-overlap detection): flag every training
     // doc sharing at least one 5-token shingle with the held-out source
     // ('src0' plays the benchmark set). The standard n-gram-collision
-    // hygiene step before training; shape = distinct-shingle inverted
-    // index semi-joined against the benchmark shingle set — candidate work
-    // scales with collisions, never doc-pairs.
+    // hygiene step before training. Round 11: the original shape ran the
+    // corpus-sized shingle stream through a DISTINCT exchange BEFORE any
+    // pruning — ~10⁹ (doc_id, source, s5) rows shuffled at the 1000×
+    // corpus, 194 s, and linear-in-corpus shuffle forever. It now runs
+    // d17's 100 TB shape with d15's per-doc output: the persisted bench
+    // bloom prefilters the raw shingle stream as a NARROW codegen'd
+    // bit-test (no exchange), and only the surviving ~0.1% pays the exact
+    // semi-join + per-doc distinct count. Blooms have no false negatives
+    // and the semi-join removes false positives, so the answer is
+    // IDENTICAL to the exact inverted-index join the oracle still runs.
     "d15_decontamination" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
-      s.sql(
-        """WITH toks AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
-          |sh AS (
-          |  SELECT DISTINCT doc_id, source, s FROM (
-          |    SELECT doc_id, source,
-          |      explode(CASE WHEN size(w) >= 5 THEN
-          |        transform(sequence(1, size(w) - 4), i -> concat_ws(' ',
-          |          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
-          |          element_at(w, i + 3), element_at(w, i + 4)))
-          |      ELSE array() END) AS s
-          |    FROM toks) x),
-          |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
-          |SELECT doc_id, source, count(*) AS n_shared_shingles
-          |FROM sh JOIN bench USING (s)
-          |WHERE source <> 'src0'
-          |GROUP BY doc_id, source""".stripMargin)
+      val ex = documentsDense(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), explode(expr(shingle5Expr)).as("s5"))
+      val bench = benchShingles(s, d)
+      val bloomBytes = benchBloomBytes(s, d)
+      ex.filter(col("source") =!= "src0")
+        .filter(call_function("graft_might_contain",
+          lit(bloomBytes), xxhash64(col("s5"))))
+        .join(bench, Seq("s5"), "left_semi")
+        .dropDuplicates("doc_id", "s5")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
     }),
 
     // Bloom-prefiltered decontamination: d15's semi-join re-expressed in
@@ -761,20 +800,8 @@ object TextQueries {
       val ex = documentsDense(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("source"), explode(expr(shingle5Expr)).as("s5"))
-      val bench = ex.filter(col("source") === "src0").select("s5").distinct().cache()
-      // Native Bloom path (no UDF): Spark's own BloomFilterAggregate builds
-      // the sketch over xxhash64(s5) in one distributed agg; the serialized
-      // filter (a few MB) comes back as ONE row and re-enters the plan as a
-      // binary literal, so BloomFilterMightContain's bit-test runs inside
-      // whole-stage codegen on the narrow corpus-side stream.
-      val nItems = math.max(bench.count(), 1L)
-      // m = ceil(-n·ln(p) / ln(2)^2) optimal bits at fpp = 3%
-      val nBits = math.max(64L,
-        math.ceil(-nItems * math.log(0.03) / (math.log(2) * math.log(2))).toLong)
-      val bloomBytes = bench
-        .agg(call_function("graft_bloom_agg", xxhash64(col("s5")),
-          lit(nItems), lit(nBits)).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
+      val bench = benchShingles(s, d)
+      val bloomBytes = benchBloomBytes(s, d)
       ex.filter(col("source") =!= "src0")
         // bloom prefilter: narrow, no shuffle, codegen'd bit-test
         .filter(call_function("graft_might_contain",
