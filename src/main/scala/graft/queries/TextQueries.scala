@@ -641,21 +641,29 @@ object TextQueries {
 
     // Repetition scoring (the Gopher/MassiveText quality signal): fraction
     // of word-bigram occurrences that are repeats of an earlier bigram in
-    // the same doc. Pure narrow per-doc math — no shuffle beyond the
-    // per-doc aggregate.
+    // the same doc. Round 11: a doc's bigram multiset never leaves its
+    // row, so both outputs are per-ROW array expressions — n_bigrams =
+    // size(w)−1 and n_distinct = size(array_distinct(grams)) — and the
+    // whole query is a zero-shuffle map pass. The original explode +
+    // groupBy(doc_id, count(DISTINCT g)) pushed the ~2.5×10⁹-bigram
+    // stream (wide strings) through a per-doc exchange at the 1000×
+    // corpus (47.2 s isolated) for an aggregation whose groups were
+    // already colocated by construction. Dense spread: the
+    // array_distinct pass is row-sized CPU work, same contract as d09.
     "d12_repetition_score" -> ((s, d) => {
-      documents(s, d).createOrReplaceTempView("documents")
+      documentsDense(s, d).createOrReplaceTempView("documents")
       s.sql(
-        """WITH grams AS (
-          |  SELECT doc_id, concat_ws(' ', element_at(w, i), element_at(w, i + 1)) AS g
+        """SELECT doc_id,
+          |  CAST(size(w) - 1 AS BIGINT) AS n_bigrams,
+          |  CAST(size(array_distinct(grams)) AS BIGINT) AS n_distinct,
+          |  round(1.0 - size(array_distinct(grams))
+          |    / CAST(size(w) - 1 AS DOUBLE), 6) AS dup_fraction
+          |FROM (
+          |  SELECT doc_id, w,
+          |    transform(sequence(1, size(w) - 1), i -> concat_ws(' ',
+          |      element_at(w, i), element_at(w, i + 1))) AS grams
           |  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) x
-          |  LATERAL VIEW explode(sequence(1, greatest(size(w) - 1, 1))) t AS i
-          |  WHERE size(w) >= 2)
-          |SELECT doc_id,
-          |  count(*) AS n_bigrams,
-          |  count(DISTINCT g) AS n_distinct,
-          |  round(1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
-          |FROM grams GROUP BY doc_id""".stripMargin)
+          |  WHERE size(w) >= 2) g""".stripMargin)
     }),
 
     // Quality-quantile filter: keep documents at or above the corpus's
