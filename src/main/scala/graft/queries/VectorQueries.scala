@@ -727,12 +727,11 @@ object VectorQueries {
     * quantizer is value-checkable across engines. floor(v+0.5) instead of
     * round(): both engines agree on floor; round-half ties differ.
     */
-  private def quantizeSql(spark: Boolean): String = {
-    val elem = if (spark) "element_at(embedding, CAST(i AS INT))" else "embedding[i]"
-    val lat = if (spark) "LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"
-              else ", UNNEST(range(1, len(embedding)+1)) AS t(i)"
+  private def quantizeSql(spark: Boolean): String = if (!spark) {
+    // oracle: the relational flat→dims→codes→errs derivation
     s"""WITH flat AS (
-       |  SELECT vec_id, i, CAST($elem AS DOUBLE) AS x FROM embeddings $lat),
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings
+       |  , UNNEST(range(1, len(embedding)+1)) AS t(i)),
        |dims AS (
        |  SELECT i, min(x) AS mn, max(x) AS mx FROM flat GROUP BY i),
        |codes AS (
@@ -748,6 +747,56 @@ object VectorQueries {
        |  CAST(max(err) AS DOUBLE) AS max_abs_err,
        |  CAST(sum(err) AS DOUBLE) / count(*) AS mean_abs_err
        |FROM errs GROUP BY vec_id""".stripMargin
+  } else {
+    // Spark side, round 11: the per-vector outputs are per-ROW once the
+    // 64-row dims table collapses to two arrays (a scalar subquery the
+    // plan broadcasts, the ivf centroid-list pattern) — q/err per
+    // dimension via transform, qsum/max/mean via aggregate/array_max —
+    // so the old flat JOIN dims GROUP BY vec_id exchange (N·d = 1.3×10⁸
+    // rows at the 1000× corpus) disappears; the only shuffle left is the
+    // dims aggregate itself, which partial-aggregates map-side into 64
+    // groups. Decimal parity with the oracle: the HOF accumulator carries
+    // the same DECIMAL(18,12) error terms with an explicit widened-cast
+    // add (exact — 64 additions of sub-1 values cannot overflow), then
+    // the identical CAST-to-DOUBLE-then-divide.
+    s"""WITH flat AS (
+       |  SELECT vec_id, i, CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) AS x
+       |  FROM embeddings LATERAL VIEW explode(sequence(1, size(embedding))) t AS i),
+       |dims AS (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM flat GROUP BY i),
+       |dvec AS (
+       |  SELECT transform(array_sort(collect_list(struct(i, mn))), e -> e.mn) AS mns,
+       |         transform(array_sort(collect_list(struct(i, mx))), e -> e.mx) AS mxs
+       |  FROM dims),
+       |rows AS (
+       |  SELECT vec_id,
+       |    transform(sequence(1, size(embedding)), i ->
+       |      CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE)) AS xs,
+       |    (SELECT mns FROM dvec) AS mns, (SELECT mxs FROM dvec) AS mxs
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id, xs, mns, mxs,
+       |    transform(sequence(1, size(xs)), i ->
+       |      CAST(CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0
+       |        ELSE floor((element_at(xs, i) - element_at(mns, i))
+       |               / (element_at(mxs, i) - element_at(mns, i))
+       |               * 255.0E0 + 0.5E0) END AS BIGINT)) AS qs
+       |  FROM rows),
+       |errs AS (
+       |  SELECT vec_id, qs,
+       |    transform(sequence(1, size(xs)), i ->
+       |      CAST(abs(element_at(xs, i) - (element_at(mns, i)
+       |        + element_at(qs, i) / 255.0E0
+       |          * (element_at(mxs, i) - element_at(mns, i))))
+       |        AS DECIMAL(18,12))) AS es
+       |  FROM coded)
+       |SELECT vec_id,
+       |  aggregate(qs, CAST(0 AS BIGINT), (a, q) -> a + q) AS qsum,
+       |  CAST(array_max(es) AS DOUBLE) AS max_abs_err,
+       |  CAST(aggregate(es, CAST(0 AS DECIMAL(28,12)),
+       |    (a, e) -> CAST(a + e AS DECIMAL(28,12))) AS DOUBLE) / size(es)
+       |    AS mean_abs_err
+       |FROM errs""".stripMargin
   }
 
   /** e05 cell cap: max(this floor, 4·C) members per (cell, sub) group
