@@ -115,10 +115,22 @@ object ScaleUp {
     // rotation class gets 2⁶⁴ distinct sign patterns; without it factor
     // 1000 would repeat the 128 available rotation/negation combos ~8×
     // and collapse IVF cells into cross-replica duplicate explosions.
-    // Replicas < 128 keep the EXACT prior construction, so existing
-    // 10×/100× corpora (and their committed recall rows) reproduce.
+    //
+    // vec_id is replica-INTERLEAVED (base·factor + rep — dense 0..N−1),
+    // NOT stride-offset like the other tables (round 11): the vector
+    // pack's probe filter samples `vec_id % qmod = 0` with qmod a power
+    // of 10, and the 10⁹ stride is ≡ 0 mod every such qmod — on an 8 M
+    // stride-id corpus the "sampled" probe set degenerated to ALL 4000
+    // replicas of base vector 0 (400× the intended probe budget: the
+    // exact baseline became 3.2×10¹⁰ scored pairs and ran for an hour
+    // before being killed; it also made earlier stride-corpus anchors run
+    // one-base probe sets — elevated probe counts, valid but degenerate
+    // diversity). Dense interleaved ids restore the uniform sample the
+    // modulus scheme assumes on ORGANIC corpora. Corpora generated before
+    // this change keep their on-disk construction; their committed recall
+    // rows stand as measured.
     write(reps(read("embeddings"))
-      .withColumn("vec_id", off("vec_id"))
+      .withColumn("vec_id", col("vec_id") * factor + col("rep"))
       .withColumn("embedding", expr(
         """CASE WHEN rep = 0 THEN embedding
           |ELSE transform(
