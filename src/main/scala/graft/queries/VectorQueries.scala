@@ -448,20 +448,36 @@ object VectorQueries {
                                  cellExpr: String): String = {
     val trainSrc = if (trainSample) "tflat" else "flat"
     val seedSrc = if (trainSample) "samp" else "embeddings"
+    // The training SAMPLE is a pure predicate on vec_id, so the Spark side
+    // filters instead of semi-joining `samp` (round 11): the join form
+    // sort-merge-sorted the full N·d flat stream (5×10⁸ rows at 8 M
+    // vectors, ~30 GB of sort spill) to apply a row-local condition. Same
+    // rows, zero exchanges. The oracle keeps the relational samp join.
+    val sampPred =
+      """instr('0123456789abcdef',
+        |          substr(md5(CAST(vec_id AS STRING)), 1, 1)) - 1 < 8""".stripMargin
     val trainEmb = if (trainSample)
-      "(SELECT e.vec_id, e.embedding FROM embeddings e JOIN samp USING (vec_id)) te"
+      s"(SELECT vec_id, embedding FROM embeddings WHERE $sampPred) te"
     else "embeddings"
     val sampleCtes = if (!trainSample) "" else
       s"""samp AS (
          |  SELECT vec_id FROM embeddings
-         |  WHERE instr('0123456789abcdef',
-         |          substr(md5(CAST(vec_id AS STRING)), 1, 1)) - 1 < 8),
-         |tflat AS (SELECT f.vec_id, f.i, f.x FROM flat f JOIN samp USING (vec_id)),
+         |  WHERE $sampPred),
+         |tflat AS (SELECT vec_id, i, x FROM flat WHERE $sampPred),
          |""".stripMargin
+    // Round-1 medians need no assignment JOIN either: a0's cell is the
+    // seed expression `vec_id % C`, row-local on the flat stream — the
+    // it = 1 join sorted the other N·d rows for nothing. Later rounds
+    // join the genuinely computed a_{it-1}.
     val iters = (1 to fullIters).map { it =>
+      val medianSrc =
+        if (it == 1)
+          s"""(SELECT CAST(vec_id % (SELECT c FROM params) AS INT) AS cell, i, x
+             |        FROM $trainSrc) m1""".stripMargin
+        else s"$trainSrc JOIN a${it - 1} USING (vec_id)"
       s"""c$it AS (
          |  SELECT cell, i, round(percentile(x, 0.5), 6) AS cx
-         |  FROM $trainSrc JOIN a${it - 1} USING (vec_id) GROUP BY cell, i),
+         |  FROM $medianSrc GROUP BY cell, i),
          |cl$it AS (
          |  SELECT collect_list(struct(cell, cvec, cnrm)) AS cells FROM (
          |    SELECT cell, cvec,
