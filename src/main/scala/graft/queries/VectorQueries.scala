@@ -53,6 +53,19 @@ object VectorQueries {
     *     np = 24 projection shifts to ~600-900 tables for design-0.9 —
     *     reinforcing (not weakening) the comment below that IVF is the
     *     primary 10⁹⁺ path and e02's schedule keeps LSH honest.
+    *   - np = 18 (8 M vectors, round-11 anchor — and the first on a
+    *     UNIFORM probe sample; earlier stride-id scaled corpora
+    *     degenerated the probe set to replicas of one base vector, see
+    *     ScaleUp.scala): schedule-produced nb(18) = 177 → measured
+    *     recall 0.8725 ⇒ q(18) ≈ 0.0116. Decay q18/q17 ≈ 0.74 — the
+    *     steep band persists for a second consecutive decade, and the
+    *     1.25/plane margin still held the schedule's own output at 0.87
+    *     vs the 0.75 floor. Two steep anchors in a row say the margin
+    *     is being SPENT, not banked: if a future np = 19 anchor lands
+    *     below ~0.84 the growth constant should step to ~1.30 — flagged
+    *     here so the next anchor run checks it. (Same run: IVF e03
+    *     0.790 / e07 0.770 at C = 2829, npr = 228 — the C^0.65 probe
+    *     schedule's fifth decade, both far above the 0.55 floor.)
     * Per added plane, q decays by (q16/q13)^(1/3) ≈ 0.837 measured
     * (analytic q ≈ p^np·(1+np(1−p)/p) puts the effective p ≈ 0.84 and the
     * ratio ≈ 0.87–0.88 — close, slightly flatter). Holding the DESIGN
