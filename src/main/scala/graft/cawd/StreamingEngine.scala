@@ -62,8 +62,17 @@ object StreamingEngine {
     "spark.graft.streaming.maxWindowRankFiles"
   private[cawd] val DefaultMaxWindowRankFiles: Long = 1L << 20
   private[cawd] def maxWindowRankFiles(s: SparkSession): Long =
-    s.conf.getOption(MaxWindowRankFilesKey).map(_.toLong)
-      .getOrElse(DefaultMaxWindowRankFiles)
+    s.conf.getOption(MaxWindowRankFilesKey).map { v =>
+      // validate at configuration-read time, not batch time: the value is
+      // used as `.toInt + 1` in a limit(), so an over-Int.MaxValue setting
+      // would silently wrap negative mid-stream and a typo would NPE the
+      // batch (round-11 advice). Fail fast on junk; clamp the usable range.
+      val n =
+        try v.toLong
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxWindowRankFilesKey must be a positive integer, got '$v'") }
+      math.min(math.max(1L, n), Int.MaxValue - 1L)
+    }.getOrElse(DefaultMaxWindowRankFiles)
 
   /** Deterministic signature → bucket assignment, usable on both the write
     * path and the probe's pruning filter.

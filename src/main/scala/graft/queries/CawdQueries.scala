@@ -142,7 +142,23 @@ object CawdQueries {
         .filter(c => c.parentSeq != -2 &&
           !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
         .select(col("file"), col("seq"), col("size"), col("content"))
-      val tbl = CawdExport.materializeDf(s, d, "c06", cover)
+      CawdExport.materializeDf(s, d, "c06", cover)
+      // Reassembly runs on a memory-bounded child session (round-11 verdict:
+      // c06 OOM'd once, load-dependently, at the default 8 GB bench heap).
+      // Two pressure terms, both proportional to CONTENT row width (~MB-
+      // sized chunk bytes, 100-1000× wider than any other table this engine
+      // scans): (a) the vectorized reader sizes batches by ROW COUNT, so the
+      // session's 1024-row blob batches can transiently hold ~1 GB per scan
+      // task — 16 rows caps a worst-case 16 MB-chunk batch at ~256 MB;
+      // (b) the digest's repartition(file) sort ran 32-way, each reduce task
+      // externally sorting MB-wide rows — 8 partitions bounds concurrent
+      // sort memory at the cost of nothing (the stage is I/O-bound and the
+      // file count per corpus is small). On a real cluster the same knobs
+      // are per-job scan/shuffle sizing, not session-wide constants.
+      val c = graft.GraftSession.child(s, "c06-reassembly",
+        shufflePartitions = Some(8))
+      c.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
+      val tbl = c.read.parquet(CawdExport.dir(d, "c06"))
       CawdEngine.reconstructionCheckRows(tbl)
         .withColumn("file", base(col("file")))
         .orderBy("file")

@@ -56,14 +56,24 @@ object MediaQueries {
     val files = if (st.isDirectory)
       fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
     else Seq(st)
-    val key = (d, files.length, files.map(_.getLen).sum,
-      files.foldLeft(0L)((a, f) => math.max(a, f.getModificationTime)))
-    if (rowCountMemo.size > 64) rowCountMemo.clear()
-    rowCountMemo.computeIfAbsent(key, _ => files.map { f =>
+    val maxMtime = files.foldLeft(0L)((a, f) => math.max(a, f.getModificationTime))
+    val key = (d, files.length, files.map(_.getLen).sum, maxMtime)
+    def count(): Long = files.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
       try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
-    }.sum)
+    }.sum
+    // (count, bytes, mtime) only identifies corpus state when the files can
+    // no longer change under that mtime: a corpus regenerated in place
+    // within the clock's CURRENT second at equal byte size would be served
+    // a stale row count, flipping the blobsPersisted export decision. Same
+    // guard as CawdExport.corpusContentKey — current-second mtimes bypass
+    // the memo in both directions (not consulted, not populated).
+    if (maxMtime / 1000 >= System.currentTimeMillis() / 1000) count()
+    else {
+      if (rowCountMemo.size > 64) rowCountMemo.clear()
+      rowCountMemo.computeIfAbsent(key, _ => count())
+    }
   }
 
   /** Blobs average ~20 KB/doc (measured 9.3 GB / 500 k docs at the 100×

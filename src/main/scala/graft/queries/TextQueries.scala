@@ -252,9 +252,20 @@ object TextQueries {
     * build itself (a full pass + count over the benchmark set) is now
     * paid once per corpus instead of per query per JVM.
     */
-  private[graft] def benchBloomBytes(s: SparkSession, d: String): Array[Byte] =
+  private[graft] def benchBloomBytes(s: SparkSession, d: String): Array[Byte] = {
+    // the effective bit budget is part of the artifact's identity: the
+    // aggregate clamps its nBits request to the session's bloom maxNumBits
+    // conf, so a bloom persisted under an older (smaller) clamp is a
+    // DIFFERENT filter than the one this session would build — without the
+    // conf in the key it would keep validating and silently serve a starved
+    // prefilter after a clamp raise (exactly the round-11 2^26 incident;
+    // correctness is safe either way, the exact semi-join removes false
+    // positives). Folding the granted ceiling in makes clamp/conf changes
+    // rebuild, per the file's schedule-change-bumps-the-key contract.
+    val maxBits = s.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").getOrElse("67108864")
     graft.cawd.CawdExport.materializePersistentDf(s, d, "bench_bloom",
-      fpCorpusKey(s, d) + ":bench5:src0:fpp3", {
+      fpCorpusKey(s, d) + s":bench5:src0:fpp3:maxbits=$maxBits", {
         val bench = benchShingles(s, d)
         val nItems = math.max(bench.count(), 1L)
         // m = ceil(-n·ln(p) / ln(2)^2) optimal bits at fpp = 3%
@@ -264,6 +275,7 @@ object TextQueries {
         bench.agg(call_function("graft_bloom_agg", xxhash64(col("s5")),
           lit(nItems), lit(nBits)).as("bf"))
       }).head().getAs[Array[Byte]]("bf")
+  }
 
   /** PPJoin candidate pairs (ida, idb, na, nb) from a ranked shingle table
     * — prefix index + length filter + positional filter, all exact (no
@@ -739,17 +751,23 @@ object TextQueries {
             s.sql("SELECT '' AS lang, CAST(0 AS BIGINT) AS exact_distinct, " +
               "CAST(0 AS BIGINT) AS kmv_estimate WHERE false")
           else {
-            val values = counts.map(r =>
-              s"('${r.getString(0).replace("'", "''")}', " +
-                s"CAST(${r.getLong(1)} AS BIGINT))").mkString(", ")
+            // re-inject the collected rows as a LocalRelation temp view, not
+            // a spliced VALUES literal: string-quoting by hand NPE'd on a
+            // NULL lang and mishandled escapes (round-11 advice); a local
+            // DataFrame round-trips any lang value (including NULL, which
+            // the join below then drops exactly as SQL equality semantics
+            // require) and still broadcasts as ≤#langs literal rows.
+            import s.implicits._
+            s.createDataset(counts.toSeq.map(r =>
+                (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))))
+              .toDF("lang", "exact_distinct")
+              .createOrReplaceTempView("kmv_counts")
             s.sql(
-              s"""WITH counts AS (
-                 |  SELECT lang, exact_distinct
-                 |  FROM (VALUES $values) AS t(lang, exact_distinct)),
+              s"""WITH counts AS (SELECT lang, exact_distinct FROM kmv_counts),
                  |raw AS ($rawSql),
                  |cand AS (
                  |  SELECT DISTINCT r.lang, r.h
-                 |  FROM raw r JOIN counts c ON r.lang = c.lang
+                 |  FROM raw r JOIN counts c ON r.lang <=> c.lang
                  |  WHERE c.exact_distinct <= ${8 * KmvK}
                  |    OR ${hexFractionSql("r.h", "instr")} <
                  |       CAST(${8 * KmvK} AS DOUBLE) / c.exact_distinct),
@@ -757,7 +775,7 @@ object TextQueries {
                  |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
                  |  FROM cand),
                  |kth AS (SELECT k.lang, k.h AS kth_h, c.exact_distinct
-                 |        FROM ranked k JOIN counts c ON k.lang = c.lang
+                 |        FROM ranked k JOIN counts c ON k.lang <=> c.lang
                  |        WHERE k.r = least($KmvK, c.exact_distinct))
                  |SELECT lang, exact_distinct,
                  |  CASE WHEN exact_distinct < $KmvK THEN exact_distinct

@@ -45,4 +45,60 @@ class DecontamParitySpec extends AnyFunSuite {
     assert(rows(gotD17) == rows(exactD17),
       "d17 persisted-bloom result != exact inverted-index derivation")
   }
+
+  /** One FILE per table, like the driver corpus layout (the chunkers and
+    * glob filters key on it).
+    */
+  private def writeDocs(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, salt: String): Unit = {
+    import spark.implicits._
+    val docs = (1 to 12).map { i =>
+      val src = if (i <= 3) "src0" else s"src${i % 3 + 1}"
+      // contaminated docs share the benchmark's salted 5-grams; clean docs
+      // carry their own tokens
+      val text =
+        if (i <= 3) s"alpha$salt bravo$salt charlie delta echo foxtrot golf hotel$i india"
+        else if (i <= 6) s"alpha$salt bravo$salt charlie delta echo extra$i tokens here now"
+        else s"clean$i$salt words without any benchmark overlap at all doc$i"
+      (i.toLong, text, "en", src, text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/.tmp_docs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/.tmp_docs/part-*.parquet"))(0).getPath
+    val target = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    fs.delete(target, true)
+    fs.rename(part, target)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.tmp_docs"), true)
+  }
+
+  /** The content-key contract under corpus MUTATION (round-11 verdict #8):
+    * a corpus regenerated in place must rebuild bench_shingles AND the
+    * serialized bench_bloom — a stale benchmark set would silently
+    * decontaminate against the previous corpus.
+    */
+  test("in-place corpus regeneration invalidates bench_shingles + bench_bloom") {
+    val spark = GraftSession.get("decontam-parity-spec")
+    val dir = java.nio.file.Files.createTempDirectory("decontam-inval").toString
+    writeDocs(spark, dir, "v1")
+    val before = rows(TextQueries.benchShingles(spark, dir))
+    val bloomBefore = TextQueries.benchBloomBytes(spark, dir).toSeq
+    writeDocs(spark, dir, "v2")
+    graft.cawd.CawdExport.resetMemo() // a fresh JVM has no in-memory memo
+    val after = rows(TextQueries.benchShingles(spark, dir))
+    val bloomAfter = TextQueries.benchBloomBytes(spark, dir).toSeq
+    assert(before != after, "changed corpus bytes must rebuild bench_shingles")
+    assert(bloomBefore != bloomAfter,
+      "changed corpus bytes must rebuild the serialized bench bloom")
+    // and the rebuilt set IS the new corpus's benchmark shingle set
+    val direct = rows(Tables.documents(spark, dir)
+      .filter(col("source") === "src0")
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(TextQueries.shingle5Expr)).as("s5"))
+      .distinct())
+    assert(after == direct,
+      "rebuilt bench_shingles != direct derivation of the regenerated corpus")
+  }
 }

@@ -38,4 +38,51 @@ class IvfPersistSpec extends AnyFunSuite {
       assert(persisted == direct, s"$q persisted-index result != inline training")
     }
   }
+
+  /** One FILE per table, like the driver layout. Deterministic synthetic
+    * embeddings: 96 vectors of dim 64, coordinates a fixed trig function of
+    * (seed, id, dim) so a different seed changes every vector (and thus the
+    * corpus content hash) without any RNG state.
+    */
+  private def writeVecs(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, seed: Int): Unit = {
+    import spark.implicits._
+    val vecs = (0 until 96).map { id =>
+      val emb = (0 until 64).map(i =>
+        math.sin(seed * 1.7 + id * 0.31 + i * 0.113).toFloat).toArray
+      (id.toLong, emb, id % 3)
+    }
+    vecs.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/.tmp_vecs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/.tmp_vecs/part-*.parquet"))(0).getPath
+    val target = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    fs.delete(target, true)
+    fs.rename(part, target)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.tmp_vecs"), true)
+  }
+
+  /** The content-key contract under corpus MUTATION (round-11 verdict #8):
+    * an embeddings corpus regenerated in place must rebuild
+    * `ivf_centroids_*`/`ivf_assign_*`, and the rebuilt-index answer must
+    * equal INLINE training on the new corpus — a stale trained index would
+    * silently serve neighbors from the previous corpus.
+    */
+  test("in-place corpus regeneration invalidates the persisted IVF index") {
+    val spark = GraftSession.get("ivf-persist-spec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-inval").toString
+    writeVecs(spark, dir, seed = 1)
+    val before = rows(SparkEntry.queries("e03_ivf_topk")(spark, dir))
+    writeVecs(spark, dir, seed = 2)
+    graft.cawd.CawdExport.resetMemo() // a fresh JVM has no in-memory memo
+    val after = rows(SparkEntry.queries("e03_ivf_topk")(spark, dir))
+    assert(before != after, "changed corpus bytes must rebuild the IVF index")
+    val ds = GraftSession.child(spark, VectorQueries.DenseTag, aqe = false)
+    Tables.embeddingsDense(ds, dir).createOrReplaceTempView("embeddings")
+    val direct = rows(ds.sql(VectorQueries.ivfSql(spark = true)))
+    assert(after == direct,
+      "rebuilt-index e03 != inline training on the regenerated corpus")
+  }
 }
