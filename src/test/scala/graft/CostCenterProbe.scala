@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.cawd.{CawdEngine, CawdExport, OrcChunker}
+
+/** Dev-only: decompose the round-11 top cost centers (c01 cold chunk scan,
+  * c06 byte-identity reconstruction, q04 big join) into their physical
+  * terms, so "scan/IO-inherent" is a measurement, not a belief (round-11
+  * verdict task 6). s01 already has [[S01Profile]].
+  *
+  * Terms per query:
+  *   - c01: raw byte I/O floor (stream every corpus parquet byte, no
+  *     parse), DSv2 chunk scan (parse + SHA-1, no write), full query
+  *     (adds export write + rollup).
+  *   - c06: chunk+hash+carry pass (no write), export write, digest from
+  *     export (shuffle-sort + recon SHA-1 + source re-read SHA-1), source
+  *     re-read floor alone.
+  *   - q04: lineitem column-scan floor, orders scan floor, l⋈o join only,
+  *     full query.
+  */
+object CostCenterProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args.drop(1).toSet else Set("c01", "c06", "q04")
+    val spark = GraftSession.get("cost-probe")
+    import spark.implicits._
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cost] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    spark.range(1000).count() // session warm-up
+
+    val files = CawdEngine.listFiles(d, ".parquet")
+
+    if (which("c01")) {
+      // (a) pure I/O floor: every byte of every corpus parquet file through
+      // the same Hadoop FS API the chunkers use, 1 MB buffers, no parse
+      time("c01/a raw byte stream (all files)") {
+        val bytes = spark.createDataset(files)
+          .repartition(files.size)
+          .map { case (p, _) =>
+            val path = new Path(p)
+            val fs = path.getFileSystem(new Configuration())
+            val in = fs.open(path)
+            val buf = new Array[Byte](1 << 20)
+            var total = 0L
+            try {
+              var n = in.read(buf)
+              while (n > 0) { total += n; n = in.read(buf) }
+            } finally in.close()
+            total
+          }.reduce(_ + _)
+        println(s"[cost] c01 corpus bytes = $bytes")
+      }
+      // (b) DSv2 chunk scan: footer/page parse + per-chunk SHA-1, no write
+      time("c01/b DSv2 chunk scan (no write)")(
+        println(s"[cost] c01 chunks = ${spark.read.format("graft-chunks").load(d).count()}"))
+      // (c) the full query (adds the export write + the small rollup)
+      time("c01/c full query")(
+        SparkEntry.queries("c01_parquet_chunk_table")(spark, d)
+          .write.format("noop").mode("overwrite").save())
+    }
+
+    if (which("c06")) {
+      val orcDir = queries.CawdQueries.ensureOrcFixtures(spark, d)
+      def cover = {
+        val orc = CawdEngine.chunkFiles(spark,
+          CawdEngine.listFiles(orcDir, ".orc"),
+          CawdEngine.Orc, OrcChunker.StripeColumn, withContent = true)
+        val pq = CawdEngine.chunkFiles(spark, files, CawdEngine.Parquet,
+          withContent = true)
+        orc.unionByName(pq)
+          .filter(c => c.parentSeq != -2 &&
+            !(c.chunkType == graft.cawd.ChunkType.Column && c.parentSeq != -1))
+          .select(col("file"), col("seq"), col("size"), col("content"))
+      }
+      // (a) chunk + hash + content carry, no write (sum sizes forces content)
+      time("c06/a chunk+hash+carry (no write)")(
+        println(s"[cost] c06 cover bytes = ${cover.agg(sum("size")).head.getLong(0)}"))
+      // (b) the export write (the ~corpus-sized parquet round-trip)
+      time("c06/b export write")(CawdExport.materializeDf(spark, d, "c06", cover))
+      // (c) digest from the export: child-session read + repartition(file)
+      // sort + streaming recon SHA-1 + source re-read SHA-1
+      val c = GraftSession.child(spark, "c06-reassembly", shufflePartitions = Some(8))
+      c.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
+      time("c06/c digest from export")(
+        CawdEngine.reconstructionCheckRows(
+          c.read.parquet(CawdExport.dir(d, "c06")))
+          .write.format("noop").mode("overwrite").save())
+      // (d) the source re-read SHA-1 floor alone (same files, one pass)
+      time("c06/d source re-read SHA-1 floor") {
+        val allFiles = files ++ CawdEngine.listFiles(orcDir, ".orc")
+        spark.createDataset(allFiles).repartition(allFiles.size)
+          .map { case (p, _) =>
+            val path = new Path(p)
+            val fs = path.getFileSystem(new Configuration())
+            val md = java.security.MessageDigest.getInstance("SHA-1")
+            val in = fs.open(path)
+            val buf = new Array[Byte](1 << 20)
+            try {
+              var n = in.read(buf)
+              while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            md.digest().length.toLong
+          }.reduce(_ + _)
+      }
+    }
+
+    if (which("q04")) {
+      // (a) lineitem scan floor over exactly q04's columns
+      time("q04/a lineitem column scan") {
+        spark.read.parquet(s"$d/lineitem.parquet")
+          .agg(sum(col("l_orderkey")),
+            sum(col("l_extendedprice")), sum(col("l_discount")))
+          .collect()
+      }
+      // (b) orders scan floor
+      time("q04/b orders column scan") {
+        spark.read.parquet(s"$d/orders.parquet")
+          .agg(sum(col("o_orderkey")), sum(col("o_custkey"))).collect()
+      }
+      // (c) the l⋈o join alone (the shuffle that carries every lineitem row)
+      time("q04/c lineitem-orders join only") {
+        val l = spark.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = spark.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey")
+        println("[cost] q04 l⋈o rows = " +
+          l.join(o, col("l_orderkey") === col("o_orderkey")).count())
+      }
+      // (d) the full query
+      time("q04/d full query")(
+        SparkEntry.queries("q04_revenue_by_nation")(spark, d)
+          .write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}
