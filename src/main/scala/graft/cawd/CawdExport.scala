@@ -60,12 +60,13 @@ object CawdExport {
     * instead of once per query. A failed write retries on the next call.
     */
   def materializeDf(spark: SparkSession, sfDir: String, tag: String,
-                    df: DataFrame): DataFrame = {
+                    df: DataFrame,
+                    writeOptions: Map[String, String] = Map.empty): DataFrame = {
     val out = dir(sfDir, tag)
     // complete-before-read: a concurrent second caller with the same tag
     // blocks on the winner's write instead of reading a half-written dir
     val task = new java.util.concurrent.FutureTask[Unit](() =>
-      df.write.mode("overwrite").parquet(out))
+      df.write.mode("overwrite").options(writeOptions).parquet(out))
     val prior = writtenDf.putIfAbsent(out, task)
     val winner = if (prior == null) { task.run(); task } else prior
     try winner.get()

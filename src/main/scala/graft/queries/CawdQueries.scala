@@ -142,12 +142,23 @@ object CawdQueries {
         .filter(c => c.parentSeq != -2 &&
           !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
         .select(col("file"), col("seq"), col("size"), col("content"))
-      CawdExport.materializeDf(s, d, "c06", cover)
-      // Reassembly runs on a memory-bounded child session (round-11 verdict:
-      // c06 OOM'd once, load-dependently, at the default 8 GB bench heap).
-      // Two pressure terms, both proportional to CONTENT row width (~MB-
-      // sized chunk bytes, 100-1000× wider than any other table this engine
-      // scans): (a) the vectorized reader sizes batches by ROW COUNT, so the
+      // The export is written UNCOMPRESSED with 16 MB row groups: its
+      // content column is raw slices of ALREADY-compressed parquet/orc
+      // file bytes, so codec compression gains ~nothing — and it is the
+      // direct cause of the 8 GB-heap OOM the round-11 verdict flagged:
+      // parquet's codec (de)compressors allocate DIRECT ByteBuffers sized
+      // to the page, blob pages balloon past the writer's row-count page
+      // check to tens of MB, and the pooled per-thread buffers across 32
+      // concurrent scan tasks exhaust MaxDirectMemorySize (= heap size by
+      // default; measured at the 1000× corpus: 31-93 MB reservations
+      // failing at the 8.59 GB limit). No codec → no direct buffers; the
+      // 16 MB row groups bound any remaining per-chunk buffering and give
+      // the ~15 GB single-table scan honest 32 MB splits.
+      CawdExport.materializeDf(s, d, "c06", cover, Map(
+        "compression" -> "uncompressed",
+        "parquet.block.size" -> (16L * 1024 * 1024).toString))
+      // Reassembly runs on a memory-bounded child session (same incident):
+      // (a) the vectorized reader sizes batches by ROW COUNT, so the
       // session's 1024-row blob batches can transiently hold ~1 GB per scan
       // task — 16 rows caps a worst-case 16 MB-chunk batch at ~256 MB;
       // (b) the digest's repartition(file) sort ran 32-way, each reduce task
