@@ -13,8 +13,37 @@ import org.apache.spark.sql.SparkSession
   * exchange; only code compilation stays warm.
   */
 object Bench {
+  /** Enforced heap-floor precondition for big-corpus runs. At the
+    * fifth-decade corpus (~11 GB), one 8 GB-heap write task OOM'd inside
+    * d05's PPJoin sort-merge chain (stage-local, genuine heap exhaustion:
+    * ~0.6·8 GB/32 tasks ≈ 150 MB spillable per task plus unspillable SMJ
+    * group buffers), and in local mode a single task OOM kills the shared
+    * SparkContext — a 40-minute suite dies half way into a -1-rows
+    * artifact because of a silent env-var dependency. On a real cluster
+    * the same plan gets per-executor memory and spills; locally the floor
+    * is a harness sizing constraint, so enforce it up front: refuse to
+    * start over a > 2 GB corpus with < 22 GB max heap, and name the fix.
+    * sf0.1 and smaller stay at the default 8 GB.
+    */
+  private def enforceHeapFloor(sfDir: String): Unit = {
+    val corpusBytes =
+      Option(new java.io.File(sfDir).listFiles()).map(_.map(_.length).sum)
+        .getOrElse(0L)
+    val maxHeap = Runtime.getRuntime.maxMemory
+    val floor = 22L * 1024 * 1024 * 1024
+    if (corpusBytes > 2L * 1024 * 1024 * 1024 && maxHeap < floor) {
+      System.err.println(
+        f"[bench] corpus $sfDir is ${corpusBytes / 1e9}%.1f GB but max heap " +
+          f"is ${maxHeap / 1e9}%.1f GB (< 22 GB floor): a single 8 GB-heap " +
+          "task OOM in d05's sort-merge chain kills the shared local " +
+          "SparkContext mid-suite. Re-run with SPARK_DRIVER_MEM=24g.")
+      sys.exit(2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    enforceHeapFloor(sfDir)
     val spark = GraftSession.get("graft-bench")
     val only = args.toSet // dev: limit to named queries (driver passes none)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
