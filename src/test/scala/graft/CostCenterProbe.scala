@@ -56,6 +56,15 @@ object CostCenterProbe {
           }.reduce(_ + _)
         println(s"[cost] c01 corpus bytes = $bytes")
       }
+      // (a2) plan-only pass, driver-serial exactly like ChunkScan below the
+      // distributed-plan cutoff: footer + page-header walk, no hashing —
+      // isolates the metadata term from the SHA-1/stream term
+      time("c01/a2 plan-only (driver-serial)") {
+        val nChunks = files.zipWithIndex.map { case ((f, _), r) =>
+          CawdEngine.planFile(f, r, CawdEngine.Parquet, OrcChunker.StripeColumn).size
+        }.sum
+        println(s"[cost] c01 planned metas = $nChunks")
+      }
       // (b) DSv2 chunk scan: footer/page parse + per-chunk SHA-1, no write
       time("c01/b DSv2 chunk scan (no write)")(
         println(s"[cost] c01 chunks = ${spark.read.format("graft-chunks").load(d).count()}"))
@@ -112,16 +121,19 @@ object CostCenterProbe {
 
     if (which("q04")) {
       // (a) lineitem scan floor over exactly q04's columns
+      // keys sum as double: at the 1000x corpus the rep-offset BIGINT keys
+      // overflow a long sum (600 M rows x ~5e11 each) under ANSI mode
       time("q04/a lineitem column scan") {
         spark.read.parquet(s"$d/lineitem.parquet")
-          .agg(sum(col("l_orderkey")),
+          .agg(sum(col("l_orderkey").cast("double")),
             sum(col("l_extendedprice")), sum(col("l_discount")))
           .collect()
       }
       // (b) orders scan floor
       time("q04/b orders column scan") {
         spark.read.parquet(s"$d/orders.parquet")
-          .agg(sum(col("o_orderkey")), sum(col("o_custkey"))).collect()
+          .agg(sum(col("o_orderkey").cast("double")),
+            sum(col("o_custkey").cast("double"))).collect()
       }
       // (c) the l⋈o join alone (the shuffle that carries every lineitem row)
       time("q04/c lineitem-orders join only") {
