@@ -53,7 +53,8 @@ object Recall {
     * Cutting the lineage lets ContextCleaner reap e01's shuffles at the
     * System.gc() below, before any index query runs.
     */
-  def measure(spark: SparkSession, sfDir: String): Map[String, Double] = {
+  def measure(spark: SparkSession, sfDir: String,
+              only: Set[String] = Set.empty): Map[String, Double] = {
     val src = SparkEntry.queries("e01_cosine_topk")(spark, sfDir)
       .select("q_id", "n_id")
     val exactRows = src.collect()
@@ -61,21 +62,31 @@ object Recall {
       spark.sparkContext.parallelize(exactRows.toIndexedSeq, 1), src.schema)
     val denom = exactRows.length.toDouble
     System.gc() // let ContextCleaner drop the exact run's shuffle files
-    Floors.keys.toSeq.sorted.map { q =>
-      val hits = SparkEntry.queries(q)(spark, sfDir).select("q_id", "n_id")
-        .join(exact, Seq("q_id", "n_id"), "left_semi").count()
-      System.gc() // same, per index query (Bench.runOne's rationale)
-      q -> hits / denom
-    }.toMap
+    Floors.keys.toSeq.sorted
+      .filter(q => only.isEmpty || only(q)).map { q =>
+        val hits = SparkEntry.queries(q)(spark, sfDir).select("q_id", "n_id")
+          .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+        System.gc() // same, per index query (Bench.runOne's rationale)
+        q -> hits / denom
+      }.toMap
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outFile = if (args.length > 1) args(1) else "RECALL.json"
+    // Dev knob: restrict to a comma-separated index subset (args(2)) so an
+    // anchor run can measure one family without paying the others' cold
+    // index builds — at 16 M vectors the full-train IVF build alone
+    // extrapolates to ~4 h (3 N·C scoring passes, N·C = 6.4e10), while the
+    // e02 growth-constant decision that anchor exists for needs only the
+    // LSH row. An incomplete row still records which floors it covered.
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
     val spark = GraftSession.get("graft-recall")
-    val r = measure(spark, sfDir)
+    val r = measure(spark, sfDir, only)
     val js = r.toSeq.sorted.map { case (k, v) => f""""$k":$v%.4f""" }.mkString(",")
-    val fl = Floors.toSeq.sorted.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+    val fl = Floors.toSeq.filter(kv => r.contains(kv._1)).sorted
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
     val line =
       s"""{"sf":"$sfDir","k":${queries.VectorQueries.TopK},"recall":{$js},"floors":{$fl}}"""
     println(line)

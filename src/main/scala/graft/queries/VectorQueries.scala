@@ -66,6 +66,15 @@ object VectorQueries {
     *     here so the next anchor run checks it. (Same run: IVF e03
     *     0.790 / e07 0.770 at C = 2829, npr = 228 — the C^0.65 probe
     *     schedule's fifth decade, both far above the 0.55 floor.)
+    *   - np = 19 (16 M vectors, round-12 anchor, uniform probe sample):
+    *     schedule-produced nb(19) = 221 → measured recall 0.8988 ⇒
+    *     q(19) ≈ 0.0103. Decay q19/q18 ≈ 0.89 — FLATTER than the 0.837
+    *     fit. The trigger above RESOLVES: the two steep decades
+    *     (0.77, 0.74) were not a trend, the growth constant stays 1.25,
+    *     and the observed decay band is now 0.74-0.89 around the fit —
+    *     margin re-banked (schedule output 0.90 vs the 0.75 floor, the
+    *     highest anchor since np = 17). Next check: np = 20 (~32 M
+    *     vectors, nb(20) = 276) under the same below-0.84 rule.
     * Per added plane, q decays by (q16/q13)^(1/3) ≈ 0.837 measured
     * (analytic q ≈ p^np·(1+np(1−p)/p) puts the effective p ≈ 0.84 and the
     * ratio ≈ 0.87–0.88 — close, slightly flatter). Holding the DESIGN
