@@ -73,8 +73,15 @@ object VectorQueries {
     *     (0.77, 0.74) were not a trend, the growth constant stays 1.25,
     *     and the observed decay band is now 0.74-0.89 around the fit —
     *     margin re-banked (schedule output 0.90 vs the 0.75 floor, the
-    *     highest anchor since np = 17). Next check: np = 20 (~32 M
-    *     vectors, nb(20) = 276) under the same below-0.84 rule.
+    *     highest anchor since np = 17).
+    *   - np = 20 (32 M vectors, round-12 anchor, uniform probe sample):
+    *     schedule-produced nb(20) = 276 → measured recall 0.9050 ⇒
+    *     q(20) ≈ 0.00849. Decay q20/q19 ≈ 0.823 — at the 0.837 fit.
+    *     Seven anchors now pin the schedule across 10⁵..3.2×10⁷ vectors
+    *     with the measured decay band 0.74-0.89 straddling the fit and
+    *     the committed 1.25 growth delivering 0.87-0.91 recall
+    *     throughout; the growth constant stands. Next check: np = 21
+    *     (~64 M vectors, nb(21) = 345) under the same below-0.84 rule.
     * Per added plane, q decays by (q16/q13)^(1/3) ≈ 0.837 measured
     * (analytic q ≈ p^np·(1+np(1−p)/p) puts the effective p ≈ 0.84 and the
     * ratio ≈ 0.87–0.88 — close, slightly flatter). Holding the DESIGN
