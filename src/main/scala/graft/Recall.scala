@@ -82,6 +82,14 @@ object Recall {
     // LSH row. An incomplete row still records which floors it covered.
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
+    // Fail fast on a typo'd subset BEFORE paying the e01 exact-baseline
+    // build: a name outside Floors would otherwise be silently filtered
+    // out, appending an empty {"recall":{}} row and exiting 0 as if the
+    // gate passed with nothing measured.
+    val unknown = only -- Floors.keySet
+    if (unknown.nonEmpty)
+      sys.error(s"unknown index name(s) ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"valid: ${Floors.keySet.toSeq.sorted.mkString(", ")}")
     val spark = GraftSession.get("graft-recall")
     val r = measure(spark, sfDir, only)
     val js = r.toSeq.sorted.map { case (k, v) => f""""$k":$v%.4f""" }.mkString(",")

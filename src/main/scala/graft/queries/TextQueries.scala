@@ -957,6 +957,18 @@ object TextQueries {
     // built-in in DuckDB, so the whole query is value-verifiable. The DP is
     // O(len²) per pair but runs ONLY on LSH candidates; at 100 TB cap the
     // compared prefix or switch to a bit-parallel Myers kernel.
+    //
+    // SHELF TRIGGER for the Myers kernel (pins the premise the shelf
+    // decision rests on — D22Probe, round 12): the banded-DP term is
+    //   cells ≈ pairs × k × avg_len,  k = floor((1−t)·avg_len)+1,
+    // and runs at ~1×10⁹ cells/s on this 32-thread box (339 638 pairs ×
+    // 113 × 562 ≈ 2.1×10¹⁰ cells = 21 s measured). It scales with the LSH
+    // CANDIDATE COUNT (near-dup rate), not corpus size: the fifth-decade
+    // rate is ~0.068 pairs/doc. REVISIT Myers when a corpus pushes the
+    // rate past ~0.2 pairs/doc (3× reference) or projected cells past
+    // ~1×10¹¹ (~100 s/run) — Myers' 64-bit word parallelism cuts the
+    // per-cell constant ~10-20× on texts this long, and nothing else
+    // about the query changes (same candidates, same verify filter).
     "d22_editdist_pairs" -> ((s, d) => {
       val df = documents(s, d)
       // shared per-corpus fingerprint table: round-7 attribution (D22Probe)
