@@ -188,7 +188,7 @@ object StreamingQueries {
     * to the NEWEST file seen, and a corpus is written in one session, so
     * preserved mtimes cannot age a wave out.
     */
-  private def stageInto(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
+  private[queries] def stageInto(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
                         srcs: Seq[String], destDir: Path, prefix: String): Unit =
     srcs.foreach { s =>
       val src = new Path(s)
