@@ -41,9 +41,115 @@ object Bench {
     }
   }
 
+  /** Measured device/cache-state fingerprint, embedded in every BENCH
+    * artifact. Two consecutive rounds of uniform suite-total shifts (sf0.1
+    * ±15 %, fifth decade ±13 %) were device/page-cache state, not code, and
+    * each took a SCALE.md forensics section of hand-run probes to attribute
+    * because nothing recorded the device state WITH the artifact. Measured
+    * once at suite start, before the SparkSession exists:
+    *   - read_mbps: direct-I/O (cache-bypassing, non-perturbing) read of
+    *     the largest corpus files, up to a 256 MB budget — the streaming
+    *     rate every cold scan in the suite is bounded by (~100-148 MB/s
+    *     observed across rounds on this shared VM).
+    *   - write_mbps: 256 MB direct-I/O write probe on the corpus's
+    *     filesystem (tmpdir shares the device), deleted after.
+    *   - steal_pct: CPU steal over a 500 ms /proc/stat window — the
+    *     hypervisor-contention signal.
+    *   - cache_resident_pct: fincore residency of the two largest corpus
+    *     tables — whether the warm suite starts warm (r12-close's 1 380 s
+    *     ran cache-resident; r13's 1 555 s ran evicted; both "honest", not
+    *     comparable — now the artifact says which one it was).
+    * A uniform row shift under a slower embedded read_mbps or colder
+    * cache_resident_pct is self-explaining; the same shift under an
+    * UNCHANGED fingerprint is a real alarm. Probes are best-effort: any
+    * failing term records -1 rather than blocking the run.
+    */
+  private def deviceFingerprint(sfDir: String): String = {
+    def timeCmd(cmd: Seq[String]): Option[Double] = try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(new java.io.File("/dev/null"))
+      pb.redirectError(new java.io.File("/dev/null"))
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      if (p.waitFor() != 0) None else Some((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Exception => None }
+    def cmdOut(cmd: Seq[String]): Option[String] = try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(new java.io.File("/dev/null"))
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Exception => None }
+
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isFile).sortBy(-_.length)
+
+    // direct-I/O read over the largest files, 256 MB budget (a small sf
+    // reads its whole corpus — noisier but still the suite's own bytes)
+    var budgetMb = 256L
+    var readBytes = 0L
+    var readSecs = 0.0
+    files.iterator.takeWhile(_ => budgetMb > 0).foreach { f =>
+      val mb = math.max(1L, math.min(budgetMb, f.length / (1024 * 1024)))
+      timeCmd(Seq("dd", s"if=${f.getAbsolutePath}", "of=/dev/null",
+        "iflag=direct", "bs=1M", s"count=$mb")).foreach { s =>
+        readBytes += math.min(mb * 1024 * 1024, f.length)
+        readSecs += s
+        budgetMb -= mb
+      }
+    }
+    val readMbps = if (readSecs > 0) readBytes / 1e6 / readSecs else -1.0
+
+    // direct-I/O write probe on the same device as /tmp corpora
+    val probe = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-devprobe-${ProcessHandle.current.pid}")
+    val writeMbps = try {
+      timeCmd(Seq("dd", "if=/dev/zero", s"of=${probe.getAbsolutePath}",
+        "oflag=direct", "bs=1M", "count=256"))
+        .map(s => 256 * 1024 * 1024 / 1e6 / s).getOrElse(-1.0)
+    } finally probe.delete()
+
+    // CPU steal over a 500 ms window (field 8 of the aggregate cpu line)
+    def cpuTimes(): Option[(Long, Long)] = try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      Some((f.sum, if (f.length > 7) f(7) else 0L))
+    } catch { case _: Exception => None }
+    val stealPct = (for {
+      (t0, s0) <- cpuTimes()
+      _ = Thread.sleep(500)
+      (t1, s1) <- cpuTimes()
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
+
+    // page-cache residency of the two largest corpus tables (fincore is
+    // mincore-based: reads nothing, perturbs nothing)
+    val top2 = files.take(2)
+    val resident = top2.flatMap { f =>
+      cmdOut(Seq("fincore", "-b", "-n", "-o", "RES,SIZE", f.getAbsolutePath))
+        .flatMap(_.trim.split("\\s+") match {
+          case Array(res, size) => Some((res.toLong, size.toLong))
+          case _ => None
+        })
+    }
+    val cachePct =
+      if (resident.nonEmpty && resident.map(_._2).sum > 0)
+        100.0 * resident.map(_._1).sum / resident.map(_._2).sum
+      else -1.0
+    val cacheFiles = top2.map(_.getName).mkString(",")
+
+    val fp = f""","device":{"read_mbps":$readMbps%.1f,"write_mbps":$writeMbps%.1f""" +
+      f""","steal_pct":$stealPct%.2f,"cache_resident_pct":$cachePct%.1f""" +
+      f""","read_probe_mb":${readBytes / (1024 * 1024)},"cache_files":"$cacheFiles"}"""
+    System.err.println(s"[bench] device fingerprint: ${fp.drop(1)}")
+    fp
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     enforceHeapFloor(sfDir)
+    val device = deviceFingerprint(sfDir) // before the session: run-START state
     val spark = GraftSession.get("graft-bench")
     val only = args.toSet // dev: limit to named queries (driver passes none)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -117,7 +223,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$trafficParity}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$device$trafficParity}"""
     println(line)
     // the driver's log capture keeps only the tail of stdout, which truncated
     // the per-query map at ~36 queries; the full line also lands in a repo

@@ -36,7 +36,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Recall {
 
-  /** Committed per-index recall floors. */
+  /** Committed per-index recall floors.
+    *
+    * ANCHOR ENDPOINT RULE (round 14, closes the scale-anchor cadence):
+    * the growth schedules are validated by gate-measured anchors at
+    * 10⁵..6.4×10⁷ vectors — e02 has EIGHT anchors ending at 64 M
+    * (np=21, recall 0.9375, decay flat and recall rising with corpus
+    * size), IVF-sampled has post-fifth-decade points at 16 M (0.7813,
+    * flat across the decade — see RECALL.json for the full anchor
+    * ledger). Anchor cadence ENDS at the committed depth: further
+    * decades on one box validate nothing the flat side hasn't already
+    * shown (the e01 exact baseline alone exceeds 2 h past 10⁸, and
+    * np=22's 128 M corpus is pure rig cost, not information). Take a NEW
+    * anchor only when (a) the corpus SHAPE changes — non-isotropic /
+    * clustered embeddings, a different dimension, a different id scheme —
+    * since every committed constant was fitted on isotropic vectors, the
+    * hardest regime; or (b) a gate row lands below floor + 0.05 margin
+    * (e02 < 0.80, IVF < 0.60), which says the schedule is consuming its
+    * slack and the growth constant must be re-fitted (e02's committed
+    * step: 1.25 → ~1.30 only if an anchor lands below ~0.84).
+    */
   val Floors: Map[String, Double] = Map(
     "e02_lsh_topk" -> 0.75,
     "e03_ivf_topk" -> 0.55,

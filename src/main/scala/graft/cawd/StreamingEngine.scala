@@ -265,6 +265,15 @@ object StreamingEngine {
       .format("binaryFile")
       .schema(org.apache.spark.sql.execution.datasources.binaryfile.BinaryFileFormat.schema)
       .option("pathGlobFilter", s"*$suffix")
+      // staged waves HARDLINK the corpus (StreamingQueries.stageInto), so
+      // arrivals keep the SOURCE mtime. The file source's default
+      // maxFileAge (7 d, relative to the newest file seen) would then
+      // silently age out part of a wave whenever corpus mtimes span >7 d —
+      // e.g. an incrementally refreshed or rsync --times corpus — and the
+      // only symptom is a changed row count (the zero-rows drain guard
+      // only catches a fully empty wave). Arrival here is DIRECTORY
+      // MEMBERSHIP, not mtime: disable age-based skipping outright.
+      .option("maxFileAge", "36500d")
       // path+length only; binaryFile still materializes content — acceptable
       // because the chunkers re-read per-file anyway and the projection is
       // pruned to metadata columns below.

@@ -184,9 +184,9 @@ object StreamingQueries {
     * were 15-34 s each of pure test-harness time polluting the s01 bench
     * row — the engine under test never reads the staged bytes twice, so
     * copying them was measurement noise, not realism. Links preserve the
-    * source mtime; the file source's maxFileAge (7 d default) is relative
-    * to the NEWEST file seen, and a corpus is written in one session, so
-    * preserved mtimes cannot age a wave out.
+    * source mtime; the engine's file source disables age-based skipping
+    * (maxFileAge=36500d in StreamingEngine.start), so preserved mtimes
+    * cannot age a wave out even on a corpus whose files span years.
     */
   private[queries] def stageInto(fs: org.apache.hadoop.fs.FileSystem, conf: Configuration,
                         srcs: Seq[String], destDir: Path, prefix: String): Unit =
@@ -405,14 +405,18 @@ object StreamingQueries {
       // they are the fsync-heavy part; the input is read-once.
       val inDir = new Path(
         s"${sys.props("java.io.tmpdir")}/graft-stream-in/${UUID.randomUUID()}")
-      fs.mkdirs(inDir)
       val store = new Path(root, "store").toString
       val stats = new Path(root, "stats").toString
       val ckpt = new Path(root, "ckpt").toString
-      val exportDir = CawdExport.dir(d, "s01")
-      fs.delete(new Path(exportDir), true) // per-batch partitions; fresh per run
-      val srcs = CawdEngine.listFiles(d, ".parquet").map(_._1)
+      // everything that touches the filesystem — including creating inDir —
+      // happens INSIDE the try, so a throw anywhere (listFiles, the export
+      // delete, staging) still reaches the finally and neither temp tree
+      // leaks
       try {
+        fs.mkdirs(inDir)
+        val exportDir = CawdExport.dir(d, "s01")
+        fs.delete(new Path(exportDir), true) // per-batch partitions; fresh per run
+        val srcs = CawdEngine.listFiles(d, ".parquet").map(_._1)
         // wave 1: originals arrive
         stageInto(fs, conf, srcs, inDir, "")
         StreamingEngine.start(s, inDir.toString, store, stats, ".parquet",

@@ -198,6 +198,21 @@ object TextQueries {
     * stopword shingles (the skew killers at corpus scale) almost never
     * generate candidates — yet the result set is PROVABLY identical to
     * the all-pairs definition the oracle computes.
+    *
+    * SHELF TRIGGER for PPJoin+'s positional filter (pins the premise the
+    * shelf decision rests on — D05Probe, round 13, fifth decade): the
+    * dominant cold term is the exact-VERIFY join (~160-237 s of the
+    * 215.9 s fused build) and it scales with the CANDIDATE count, not
+    * corpus size — this corpus's 1000×-replica structure gives every doc
+    * ~10³ byte-near twins, flooding the prefix filter (42.37 M candidates
+    * → 256 k verified pairs, 0.6 % precision). The candidates are provably
+    * complete, so the only exact tightening left is the positional filter:
+    * it prunes candidates by prefix-match POSITION (an upper bound on the
+    * remaining overlap) before the shingle verify join and stays exact.
+    * REVISIT when candidate precision falls below ~0.1 % or the verify
+    * term alone exceeds ~10 % of the cold suite; nothing else about the
+    * query changes (same prefix index, same verify, same export key —
+    * bump the derivation version in the content key when it lands).
     */
   private[graft] def jaccardPairsPersisted(s: SparkSession, d: String): DataFrame =
     graft.cawd.CawdExport.materializePersistentDf(s, d, "jaccard_pairs",

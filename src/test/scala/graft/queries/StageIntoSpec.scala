@@ -53,6 +53,10 @@ class StageIntoSpec extends AnyFunSuite {
     val dstDir = Files.createTempDirectory(
       Paths.get("/dev/shm"), "stage-dst2").toFile // tmpfs: different device
     dstDir.deleteOnExit()
+    // if tmpdir ever IS /dev/shm (same FileStore) the fallback path can't
+    // be exercised from here — skip rather than pass vacuously
+    assume(Files.getFileStore(src.toPath) != Files.getFileStore(dstDir.toPath),
+      "src and dst share a FileStore; copy fallback not exercisable")
     val fs = new Path(dstDir.toString).getFileSystem(conf)
 
     StreamingQueries.stageInto(fs, conf, Seq(src.toString),
@@ -62,5 +66,10 @@ class StageIntoSpec extends AnyFunSuite {
     assert(Files.exists(dst), "cross-device fallback did not copy")
     assert(java.util.Arrays.equals(Files.readAllBytes(dst),
       Files.readAllBytes(src.toPath)), "copied bytes differ from source")
+    // bytes-equal alone is also satisfied by a hardlink; nlink == 1 proves
+    // this really was the COPY branch
+    val nlink = Files.getAttribute(dst, "unix:nlink").asInstanceOf[Int]
+    assert(nlink == 1,
+      s"cross-device staging produced nlink=$nlink - a link, not a copy")
   }
 }
