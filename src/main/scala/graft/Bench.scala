@@ -133,15 +133,64 @@ object Bench {
           case _ => None
         })
     }
-    val cachePct =
+    val cachePct = // fincore RES page-rounds up; clamp the ratio
       if (resident.nonEmpty && resident.map(_._2).sum > 0)
-        100.0 * resident.map(_._1).sum / resident.map(_._2).sum
+        math.min(100.0, 100.0 * resident.map(_._1).sum / resident.map(_._2).sum)
       else -1.0
     val cacheFiles = top2.map(_.getName).mkString(",")
 
+    // PINNED WARM-SUITE PROTOCOL (GRAFT_BENCH_PRIME=1): the rolling
+    // fifth-decade warm artifact is only cross-round comparable if it
+    // always starts from the same cache state — r12-close's 1 380 s ran on
+    // a working set left resident by the preceding cold suite, r13's
+    // 1 555 s ran after 99 GB of probe churn evicted it, and reconciling
+    // the two took a SCALE.md forensics section. The priming pass defines
+    // that state by construction: one sequential buffered read of every
+    // corpus table AND the corpus's persisted-export subtree (everything
+    // the warm suite reads; 15 + 19 GB at the fifth decade, well under
+    // RAM), so the suite always opens fully resident. Costs one
+    // device-speed pass when cold, near-nothing when already resident;
+    // the artifact records both the found state and the primed state.
+    val primeFields =
+      if (sys.env.get("GRAFT_BENCH_PRIME").contains("1")) {
+        def walk(dir: java.io.File): Seq[java.io.File] =
+          Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+            .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+        val exportDir = new java.io.File(
+          graft.cawd.CawdExport.Root, new java.io.File(sfDir).getName)
+        val all = walk(new java.io.File(sfDir)) ++ walk(exportDir)
+        val t0 = System.nanoTime()
+        val buf = new Array[Byte](1 << 20)
+        var total = 0L
+        all.foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = in.read(buf)
+            while (n > 0) { total += n; n = in.read(buf) }
+          } catch { case _: Exception => () } finally in.close()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] primed ${total / 1e9}%.1f GB (corpus + exports) in $secs%.1f s")
+        val post = top2.flatMap { f =>
+          cmdOut(Seq("fincore", "-b", "-n", "-o", "RES,SIZE", f.getAbsolutePath))
+            .flatMap(_.trim.split("\\s+") match {
+              case Array(res, size) => Some((res.toLong, size.toLong))
+              case _ => None
+            })
+        }
+        val postPct = // fincore RES page-rounds up; clamp the ratio
+          if (post.nonEmpty && post.map(_._2).sum > 0)
+            math.min(100.0, 100.0 * post.map(_._1).sum / post.map(_._2).sum)
+          else -1.0
+        f""","primed":true,"prime_secs":$secs%.1f""" +
+          f""","prime_gb":${total / 1e9}%.1f,"cache_resident_pct_primed":$postPct%.1f"""
+      } else ""
+
     val fp = f""","device":{"read_mbps":$readMbps%.1f,"write_mbps":$writeMbps%.1f""" +
       f""","steal_pct":$stealPct%.2f,"cache_resident_pct":$cachePct%.1f""" +
-      f""","read_probe_mb":${readBytes / (1024 * 1024)},"cache_files":"$cacheFiles"}"""
+      f""","read_probe_mb":${readBytes / (1024 * 1024)},"cache_files":"$cacheFiles"""" +
+      primeFields + "}"
     System.err.println(s"[bench] device fingerprint: ${fp.drop(1)}")
     fp
   }

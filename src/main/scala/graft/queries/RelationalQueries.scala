@@ -131,6 +131,18 @@ object RelationalQueries {
       // measured the full query at 76 s of which the bare l JOIN o was
       // 29 s — most of the rest was the second big shuffle this removes).
       // Exact-decimal partial sums keep the oracle hash identical.
+      //
+      // MEASURED NO-WIN (round 14, CostCenterProbe q04pre, fifth decade):
+      // applying the same trick one join earlier — partial-aggregate by
+      // l_orderkey BEFORE this join — compresses the orderkey exchange
+      // 4.07x (600 M -> 147.2 M rows, lineitem is orderkey-clustered) but
+      // LOSES overall: the per-order aggregation pass alone costs 44.9 s
+      // (hash-agg over 600 M rows into 147 M groups, partial + final),
+      // more than the exchange reduction saves (bare join 46.5 -> 64.4 s,
+      // full query 104.8 -> 118.5 s, same session, cache-favoring order).
+      // The orderkey exchange IS the join's floor here; group count ~N/4
+      // is too high for an extra aggregation tier to pay. Revisit only if
+      // the corpus shape changes to many lineitems per order (>~16x).
       val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(

@@ -149,6 +149,61 @@ object CostCenterProbe {
         SparkEntry.queries("q04_revenue_by_nation")(spark, d)
           .write.format("noop").mode("overwrite").save())
     }
+
+    if (which("q04pre")) {
+      // Round-14 candidate: partial aggregate by l_orderkey BEFORE the l⋈o
+      // join. Lineitem is clustered by orderkey (~4 rows/order arrive
+      // consecutively), so a partial HashAggregate compresses the orderkey
+      // exchange ~4x ON THE MAP SIDE and the join reuses the same hash
+      // partitioning — the round-12 custkey trick applied one join earlier.
+      // Same child-session sizing as the shipped q04 so the comparison is
+      // plan-vs-plan, not conf-vs-conf.
+      val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+        new java.io.File(s"$d/lineitem.parquet").length / (32L * 1024 * 1024)).toInt
+      val c = GraftSession.child(spark, s"q04pre:$d", aqe = true,
+        shufflePartitions = Some(parts))
+      def dec(col0: org.apache.spark.sql.Column, t: String = "decimal(12,2)") =
+        col0.cast(t)
+      val l = c.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = c.read.parquet(s"$d/orders.parquet").select("o_orderkey", "o_custkey")
+      // (a) the bare per-order aggregate: how many rows survive to the
+      // exchange, and what the extra aggregation pass costs by itself
+      time("q04pre/a per-order partial agg only") {
+        println("[cost] q04pre per-order rows = " + l.groupBy("l_orderkey")
+          .agg(sum(dec(col("l_extendedprice"))).as("x")).count())
+      }
+      // (b) pre-aggregated l⋈o join alone (vs q04/c's raw-row join)
+      time("q04pre/b perOrder-orders join only") {
+        val perOrder = l.groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+            .as("rev_part"), count(lit(1)).as("n_part"))
+        println("[cost] q04pre l⋈o rows = " +
+          perOrder.join(o, col("l_orderkey") === col("o_orderkey")).count())
+      }
+      // (c) the full alternate query, byte-for-byte q04 semantics
+      time("q04pre/c full alternate query") {
+        val cust = c.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_nationkey")
+        val nat = c.read.parquet(s"$d/nation.parquet")
+          .select("n_nationkey", "n_name")
+        val perOrder = l.groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+            .as("rev_part"), count(lit(1)).as("n_part"))
+        val perCust = perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev_part")).as("rev_part"), sum(col("n_part")).as("n_part"))
+        perCust
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("rev_part")).cast("double").as("revenue"),
+            sum(col("n_part")).as("n_rows"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }
