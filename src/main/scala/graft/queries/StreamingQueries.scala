@@ -112,21 +112,29 @@ object StreamingQueries {
     * sink, drain it (AvailableNow inside `start`), project + materialize
     * the sink table, drop the view.
     *
-    * While the stream runs, shuffle partitions drop to 8: stateful
-    * operators create one state store (and one checkpoint file tree) per
-    * shuffle partition per micro-batch, and these local-mode drains hold
-    * kilobytes of state per partition — 32 near-empty stores are pure
-    * overhead. The session default is restored before the sink table is
-    * materialized.
+    * While the stream runs, shuffle partitions drop to `stateParts`
+    * (default 8): stateful operators create one state store (and one
+    * checkpoint file tree) per shuffle partition per micro-batch, and most
+    * of these local-mode drains hold kilobytes of state per partition — 32
+    * near-empty stores are pure overhead. The EXCEPTION is a query whose
+    * state is corpus-sized: s05's interval join buffers every click+view
+    * row (39.8 M rows / 8.5 GB at the fifth decade), and S05Profile
+    * (round 14) measured its cost to be state-store update time — 439 s
+    * of summed per-task updates serialized onto 8 stores ≈ 55 s of wall —
+    * with micro-batch machinery at 0.77 s. Such a query passes
+    * `stateParts = defaultParallelism` so the state work spreads across
+    * every core, exactly like a cluster deployment would size it. The
+    * session default is restored before the sink table is materialized.
     */
   private def drainToMemory(s: SparkSession, prefix: String,
       start: String => org.apache.spark.sql.streaming.StreamingQuery,
-      project: DataFrame => DataFrame): DataFrame = {
+      project: DataFrame => DataFrame,
+      stateParts: Int = 8): DataFrame = {
     val name = s"${prefix}_${UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = s"$scratchRoot/ckpt/$name"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevCkpt = s.conf.getOption("spark.sql.streaming.checkpointLocation")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     s.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
     // non-empty-source guard via listener, NOT recentProgress: the progress
     // ring buffer holds only the last ~100 entries, so a drain with many
@@ -306,7 +314,23 @@ object StreamingQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       },
-      _.orderBy("click_id", "view_id"))),
+      _.orderBy("click_id", "view_id"),
+      // corpus-sized join state: size the store count from the events
+      // table's bytes (32 MB/store, the relational big-join budget),
+      // capped at the core count and floored at the default 8 — the
+      // fifth-decade corpus gets one store per core (S05Profile: the
+      // 8-store drain was state-update-bound at 82.8 s warm, 52.9 s at
+      // 32 stores), while sf0.1-and-smaller keep 8 (32 near-empty
+      // stores measured 4.5x the drain cost at sf0.01)
+      stateParts = {
+        val p = new Path(s"$d/events.parquet")
+        val bytes =
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        math.max(8L, math.min(s.sparkContext.defaultParallelism.toLong,
+          bytes / (32L * 1024 * 1024))).toInt
+      })),
 
     // Streaming sessionization via flatMapGroupsWithState — the API class
     // the other s* queries don't touch (s03 uses mapGroupsWithState's

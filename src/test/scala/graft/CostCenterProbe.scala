@@ -89,7 +89,7 @@ object CostCenterProbe {
       }
       // (a) chunk + hash + content carry, no write (sum sizes forces content)
       time("c06/a chunk+hash+carry (no write)")(
-        println(s"[cost] c06 cover bytes = ${cover.agg(sum("size")).head.getLong(0)}"))
+        println(s"[cost] c06 cover bytes = ${cover.agg(sum("size")).head().getLong(0)}"))
       // (b) the export write (the ~corpus-sized parquet round-trip)
       time("c06/b export write")(CawdExport.materializeDf(spark, d, "c06", cover))
       // (c) digest from the export: child-session read + repartition(file)
