@@ -126,6 +126,25 @@ object StreamingQueries {
     * every core, exactly like a cluster deployment would size it. The
     * session default is restored before the sink table is materialized.
     */
+  /** State-store count sized from the events table's bytes at the
+    * relational 32 MB-per-partition budget, capped at core count, floored
+    * at the drain default 8. For a drain whose per-ROW state work scales
+    * with input (s05's symmetric join buffer, s04's per-row dedup probe,
+    * s06's per-user fold), the 8-store pin serializes that work onto a
+    * quarter of the cores at the fifth decade; input-proportional sizing
+    * is exactly how a cluster deployment would set
+    * spark.sql.shuffle.partitions for the same stream.
+    */
+  private def sizedStateParts(s: SparkSession, d: String): Int = {
+    val p = new Path(s"$d/events.parquet")
+    val bytes =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    math.max(8L, math.min(s.sparkContext.defaultParallelism.toLong,
+      bytes / (32L * 1024 * 1024))).toInt
+  }
+
   private def drainToMemory(s: SparkSession, prefix: String,
       start: String => org.apache.spark.sql.streaming.StreamingQuery,
       project: DataFrame => DataFrame,
@@ -281,7 +300,10 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start(),
       _.select(col("user_id"), col("event_type"))
-        .orderBy("user_id", "event_type"))),
+        .orderBy("user_id", "event_type"),
+      // every input row probes the dedup state: per-row state work scales
+      // with input, so size stores like s05 (measured 38.4 -> see SCALE.md)
+      stateParts = sizedStateParts(s, d))),
 
     // Stream-stream interval join: each click joined to the same user's
     // views from the preceding 6 hours — the attribution-join shape, and
@@ -315,22 +337,11 @@ object StreamingQueries {
           .start()
       },
       _.orderBy("click_id", "view_id"),
-      // corpus-sized join state: size the store count from the events
-      // table's bytes (32 MB/store, the relational big-join budget),
-      // capped at the core count and floored at the default 8 — the
-      // fifth-decade corpus gets one store per core (S05Profile: the
-      // 8-store drain was state-update-bound at 82.8 s warm, 52.9 s at
-      // 32 stores), while sf0.1-and-smaller keep 8 (32 near-empty
+      // corpus-sized join state: one store per core at the fifth decade
+      // (S05Profile: the 8-store drain was state-update-bound at 82.8 s
+      // warm, 52.9 s at 32 stores), 8 at sf0.1-and-smaller (32 near-empty
       // stores measured 4.5x the drain cost at sf0.01)
-      stateParts = {
-        val p = new Path(s"$d/events.parquet")
-        val bytes =
-          try p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .getContentSummary(p).getLength
-          catch { case scala.util.control.NonFatal(_) => 0L }
-        math.max(8L, math.min(s.sparkContext.defaultParallelism.toLong,
-          bytes / (32L * 1024 * 1024))).toInt
-      })),
+      stateParts = sizedStateParts(s, d))),
 
     // Streaming sessionization via flatMapGroupsWithState — the API class
     // the other s* queries don't touch (s03 uses mapGroupsWithState's
@@ -376,7 +387,10 @@ object StreamingQueries {
           .select(col("user_id"), col("st.n_sessions").as("n_sessions"),
             col("st.n_events").as("n_events"),
             col("st.max_session_len").as("max_session_len"))
-          .orderBy("user_id"))
+          .orderBy("user_id"),
+        // per-user fold touches every input row; user keys are uniform,
+        // so input-proportional store sizing parallelizes it (s05's rule)
+        stateParts = sizedStateParts(s, d))
     }),
 
     // Stream-STATIC broadcast join — the remaining Structured Streaming
