@@ -46,8 +46,12 @@ object Recall {
     * flat across the decade — see RECALL.json for the full anchor
     * ledger). Anchor cadence ENDS at the committed depth: further
     * decades on one box validate nothing the flat side hasn't already
-    * shown (the e01 exact baseline alone exceeds 2 h past 10⁸, and
-    * np=22's 128 M corpus is pure rig cost, not information). Take a NEW
+    * shown (the e01 exact baseline alone exceeds 2 h past 10⁸, np=22's
+    * 128 M corpus is pure rig cost, not information, and the round-14
+    * 32 M IVF attempt measured the boundary directly: ~45 GB of
+    * assignment-sort spill and >2.5 h of saturated 32-thread IVF compute
+    * without completing — SCALE.md "the attempt IS the endpoint
+    * evidence"). Take a NEW
     * anchor only when (a) the corpus SHAPE changes — non-isotropic /
     * clustered embeddings, a different dimension, a different id scheme —
     * since every committed constant was fitted on isotropic vectors, the
