@@ -95,6 +95,10 @@ object Recall {
   }
 
   def main(args: Array[String]): Unit = {
+    // RECALL.json rows are built with locale-sensitive f"" interpolation;
+    // pin the locale so a non-US JVM can't render comma decimals (same fix
+    // as Bench — round-14 advice)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outFile = if (args.length > 1) args(1) else "RECALL.json"
     // Dev knob: restrict to a comma-separated index subset (args(2)) so an

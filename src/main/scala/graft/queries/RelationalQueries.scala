@@ -49,8 +49,8 @@ object RelationalQueries {
     * these are exactly the big-shuffle plans AQE is good at, unlike the
     * small-byte CPU-dense plans the session-wide constant protects.
     */
-  private[queries] def sizedForInput(s: SparkSession, tag: String,
-                                     d: String, table: String): SparkSession = {
+  private[graft] def sizedForInput(s: SparkSession, tag: String,
+                                   d: String, table: String): SparkSession = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val bytes =

@@ -145,16 +145,38 @@ object StreamingQueries {
       bytes / (32L * 1024 * 1024))).toInt
   }
 
+  /** State-store provider for the drains. Default: Spark's default
+    * (HDFSBackedStateStoreProvider — all state on-heap). S05Profile
+    * (round 14) measured the corpus-sized drains to be state-store-update
+    * bound (~926 s summed update time for 39.8 M buffered rows / 8.5 GB at
+    * the fifth decade, ~23 µs/row incl. the UnsafeRow copy), which is the
+    * regime `RocksDBStateStoreProvider` targets on real clusters (off-heap
+    * native state, no per-update deep copy). Probed round 15 at the fifth
+    * decade via this env knob (GRAFT_STREAM_STATE_PROVIDER=rocksdb|hdfs|
+    * <fqcn>): see SCALE.md for the measurement and the adopt/reject call.
+    */
+  private def stateProviderClass: Option[String] =
+    sys.env.get("GRAFT_STREAM_STATE_PROVIDER").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case fqcn => fqcn
+    }
+
   private def drainToMemory(s: SparkSession, prefix: String,
       start: String => org.apache.spark.sql.streaming.StreamingQuery,
       project: DataFrame => DataFrame,
       stateParts: Int = 8): DataFrame = {
     val name = s"${prefix}_${UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = s"$scratchRoot/ckpt/$name"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevCkpt = s.conf.getOption("spark.sql.streaming.checkpointLocation")
+    val prevProv = s.conf.getOption(providerKey)
     s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     s.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+    stateProviderClass.foreach(s.conf.set(providerKey, _))
     // non-empty-source guard via listener, NOT recentProgress: the progress
     // ring buffer holds only the last ~100 entries, so a drain with many
     // trailing empty micro-batches could roll every nonzero entry off and
@@ -197,6 +219,10 @@ object StreamingQueries {
       prevCkpt match {
         case Some(v) => s.conf.set("spark.sql.streaming.checkpointLocation", v)
         case None => s.conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+      if (stateProviderClass.isDefined) prevProv match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
       }
       releaseStreamScratch(ckpt)
     }
@@ -260,26 +286,49 @@ object StreamingQueries {
     // monotone).
     "s03_stateful_running_totals" -> ((s, d) => {
       import s.implicits._
+      // s03's five keys mean the stateful exchange lands every event row on
+      // ≤5 tasks regardless of store count. The accumulation is associative
+      // and order-independent by design (Long micros), so a partition-local
+      // pre-fold (event_type → (n, Σmicros), ≤5 rows per partition per
+      // batch) can shrink both the exchange and the state-update row count
+      // by ~|batch|/5·parts. Knob (-Dgraft.s03.prefold=0/1) exists so
+      // CostCenterProbe measures both shapes through the identical drain
+      // harness; the DEFAULT is the measured winner (see SCALE.md round 15).
+      val preFold = sys.props.get("graft.s03.prefold").forall(_ != "0")
       drainToMemory(s, "s03",
-        name => eventsStream(s, d)
-          .select(col("event_type"),
-            round(col("value") * 1e6, 0).cast("long").as("micros"))
-          .as[(String, Long)]
-          .groupByKey(_._1)
-          .mapGroupsWithState[TypeState, (String, Long, Double)](
-            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
-            (key: String, it: Iterator[(String, Long)],
-             state: org.apache.spark.sql.streaming.GroupState[TypeState]) =>
-              var st = state.getOption.getOrElse(TypeState(0L, 0L))
-              it.foreach(r => st = TypeState(st.n + 1, st.micros + r._2))
-              state.update(st)
-              (key, st.n, st.micros / 1e6)
-          }
-          .toDF("event_type", "n", "sum_value")
-          .writeStream.outputMode("update")
-          .format("memory").queryName(name)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(),
+        name => {
+          val src = eventsStream(s, d)
+            .select(col("event_type"),
+              round(col("value") * 1e6, 0).cast("long").as("micros"))
+            .as[(String, Long)]
+          val partials: org.apache.spark.sql.Dataset[(String, Long, Long)] =
+            if (preFold)
+              src.mapPartitions { it =>
+                val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+                it.foreach { case (t, us) =>
+                  val p = m.getOrElse(t, (0L, 0L))
+                  m.update(t, (p._1 + 1L, p._2 + us))
+                }
+                m.iterator.map { case (t, (n, us)) => (t, n, us) }
+              }
+            else src.map { case (t, us) => (t, 1L, us) }
+          partials
+            .groupByKey(_._1)
+            .mapGroupsWithState[TypeState, (String, Long, Double)](
+              org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+              (key: String, it: Iterator[(String, Long, Long)],
+               state: org.apache.spark.sql.streaming.GroupState[TypeState]) =>
+                var st = state.getOption.getOrElse(TypeState(0L, 0L))
+                it.foreach(r => st = TypeState(st.n + r._2, st.micros + r._3))
+                state.update(st)
+                (key, st.n, st.micros / 1e6)
+            }
+            .toDF("event_type", "n", "sum_value")
+            .writeStream.outputMode("update")
+            .format("memory").queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        },
         _.groupBy(col("event_type"))
           .agg(max(struct(col("n"), col("sum_value"))).as("st"))
           .select(col("event_type"), col("st.n").as("n"),

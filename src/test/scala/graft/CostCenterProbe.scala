@@ -156,12 +156,11 @@ object CostCenterProbe {
       // consecutively), so a partial HashAggregate compresses the orderkey
       // exchange ~4x ON THE MAP SIDE and the join reuses the same hash
       // partitioning — the round-12 custkey trick applied one join earlier.
-      // Same child-session sizing as the shipped q04 so the comparison is
-      // plan-vs-plan, not conf-vs-conf.
-      val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
-        new java.io.File(s"$d/lineitem.parquet").length / (32L * 1024 * 1024)).toInt
-      val c = GraftSession.child(spark, s"q04pre:$d", aqe = true,
-        shufflePartitions = Some(parts))
+      // Same child-session sizing HELPER as the shipped q04 so the
+      // comparison is plan-vs-plan, not conf-vs-conf — the probe must not
+      // silently diverge if lineitem ever becomes a parquet directory
+      // (java.io.File.length on a dir reads the inode; round-14 advice)
+      val c = queries.RelationalQueries.sizedForInput(spark, "q04pre", d, "lineitem")
       def dec(col0: org.apache.spark.sql.Column, t: String = "decimal(12,2)") =
         col0.cast(t)
       val l = c.read.parquet(s"$d/lineitem.parquet")
@@ -203,6 +202,35 @@ object CostCenterProbe {
             sum(col("n_part")).as("n_rows"))
           .write.format("noop").mode("overwrite").save()
       }
+    }
+
+    if (which("s03pre")) {
+      // Round-15 candidate (round-14 verdict task 3): partition-local
+      // pre-fold before s03's 5-key stateful exchange. Both shapes run
+      // through the IDENTICAL drain harness via the sys-prop knob; warm
+      // second runs are the comparable pair (first run pays source-listing
+      // and codegen). Also decomposed: the bare source-scan floor, to tell
+      // whether the exchange is material at all.
+      time("s03pre/floor events scan+project") {
+        val n = graft.Tables.fixEventTs(spark.read.parquet(s"$d/events.parquet"))
+          .select(col("event_type"),
+            round(col("value") * 1e6, 0).cast("long").as("micros"))
+          .count()
+        println(s"[cost] s03pre event rows = $n")
+      }
+      def runS03(tag: String, prefold: String): Unit = {
+        sys.props("graft.s03.prefold") = prefold
+        try {
+          time(s"s03pre/$tag run1")(
+            queries.StreamingQueries.queries("s03_stateful_running_totals")(spark, d)
+              .write.format("noop").mode("overwrite").save())
+          time(s"s03pre/$tag run2 (warm)")(
+            queries.StreamingQueries.queries("s03_stateful_running_totals")(spark, d)
+              .write.format("noop").mode("overwrite").save())
+        } finally sys.props.remove("graft.s03.prefold")
+      }
+      runS03("per-row (shipped r14)", "0")
+      runS03("pre-fold", "1")
     }
     spark.stop()
   }

@@ -72,6 +72,10 @@ object S05Profile {
     // ---- the real s05, cold then warm ----
     phase("real s05 run1")(
       queries.StreamingQueries.queries("s05_stream_stream_join")(spark, d).count())
+    // listener bus delivery is async: let run1's tail progress events drain
+    // BEFORE the clear, or they land afterwards and inflate run2's totals
+    // (run2 already had this guard; round-14 advice)
+    Thread.sleep(300)
     progress.clear()
     phase("real s05 run2 (warm)")(
       queries.StreamingQueries.queries("s05_stream_stream_join")(spark, d).count())
