@@ -156,7 +156,8 @@ object StreamingQueries {
     * <fqcn>): see SCALE.md for the measurement and the adopt/reject call.
     */
   private def stateProviderClass: Option[String] =
-    sys.env.get("GRAFT_STREAM_STATE_PROVIDER").map {
+    sys.props.get("graft.stream.provider")
+      .orElse(sys.env.get("GRAFT_STREAM_STATE_PROVIDER")).map {
       case "rocksdb" =>
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       case "hdfs" =>

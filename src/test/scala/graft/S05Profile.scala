@@ -69,41 +69,55 @@ object S05Profile {
       println(s"[s05prof] batch join rows = $n")
     }
 
-    // ---- the real s05, cold then warm ----
-    phase("real s05 run1")(
-      queries.StreamingQueries.queries("s05_stream_stream_join")(spark, d).count())
-    // listener bus delivery is async: let run1's tail progress events drain
-    // BEFORE the clear, or they land afterwards and inflate run2's totals
-    // (run2 already had this guard; round-14 advice)
-    Thread.sleep(300)
-    progress.clear()
-    phase("real s05 run2 (warm)")(
-      queries.StreamingQueries.queries("s05_stream_stream_join")(spark, d).count())
-    Thread.sleep(300)
+    // ---- the real s05: cold + warm per state-store provider ----
+    // Round-15 probe (round-14 verdict task 2): the residual s05 cost is
+    // summed per-row state-store update time on the on-heap
+    // HDFSBackedStateStoreProvider; RocksDBStateStoreProvider is the
+    // cluster-scale answer for corpus-sized state. Sweep both providers in
+    // ONE session (sys-prop knob) so the comparison shares JIT warmth,
+    // device state, and the drain harness. args(1) optionally restricts
+    // (e.g. "rocksdb" or "hdfs").
+    val providers = args.lift(1).map(Seq(_)).getOrElse(Seq("hdfs", "rocksdb"))
+    providers.foreach { prov =>
+      sys.props("graft.stream.provider") = prov
+      try {
+        phase(s"real s05[$prov] run1")(
+          queries.StreamingQueries.queries("s05_stream_stream_join")(spark, d).count())
+        // listener bus delivery is async: let run1's tail progress events
+        // drain BEFORE the clear, or they land afterwards and inflate the
+        // warm-run machinery/state totals (round-14 advice)
+        Thread.sleep(300)
+        progress.clear()
+        phase(s"real s05[$prov] run2 (warm)")(
+          queries.StreamingQueries.queries("s05_stream_stream_join")(spark, d).count())
+        Thread.sleep(300)
 
-    // per-batch machinery breakdown from the warm run
-    val keys = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
-      "walCommit", "commitOffsets", "triggerExecution")
-    val totals = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    var batches = 0
-    progress.forEach { p =>
-      batches += 1
-      keys.foreach { k =>
-        totals(k) += Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
-      }
-      val so = p.stateOperators.map { s =>
-        f"rows=${s.numRowsTotal} updated=${s.numRowsUpdated} " +
-          f"updMs=${s.allUpdatesTimeMs} rmMs=${s.allRemovalsTimeMs} " +
-          f"commitMs=${s.commitTimeMs} memMB=${s.memoryUsedBytes / 1e6}%.1f"
-      }.mkString(" | ")
-      println(f"[s05prof]   batch=${p.batchId}%3d in=${p.numInputRows}%9d " +
-        f"trigger=${Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)}%6d ms " +
-        f"addBatch=${Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)}%6d ms  $so")
+        // per-batch machinery breakdown from the warm run
+        val keys = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+          "walCommit", "commitOffsets", "triggerExecution")
+        val totals = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        var batches = 0
+        progress.forEach { p =>
+          batches += 1
+          keys.foreach { k =>
+            totals(k) += Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+          }
+          val so = p.stateOperators.map { s =>
+            f"rows=${s.numRowsTotal} updated=${s.numRowsUpdated} " +
+              f"updMs=${s.allUpdatesTimeMs} rmMs=${s.allRemovalsTimeMs} " +
+              f"commitMs=${s.commitTimeMs} memMB=${s.memoryUsedBytes / 1e6}%.1f"
+          }.mkString(" | ")
+          println(f"[s05prof]   batch=${p.batchId}%3d in=${p.numInputRows}%9d " +
+            f"trigger=${Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)}%6d ms " +
+            f"addBatch=${Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)}%6d ms  $so")
+        }
+        println(s"[s05prof] [$prov] warm micro-batches = $batches")
+        keys.foreach(k => println(f"[s05prof]   [$prov] total ${k}%-16s ${totals(k) / 1e3}%7.2f s"))
+        val machinery = totals("triggerExecution") - totals("addBatch")
+        println(f"[s05prof]   [$prov] trigger minus addBatch (pure machinery) ${machinery / 1e3}%7.2f s")
+        progress.clear()
+      } finally sys.props.remove("graft.stream.provider")
     }
-    println(s"[s05prof] warm micro-batches = $batches")
-    keys.foreach(k => println(f"[s05prof]   total ${k}%-16s ${totals(k) / 1e3}%7.2f s"))
-    val machinery = totals("triggerExecution") - totals("addBatch")
-    println(f"[s05prof]   trigger minus addBatch (pure machinery) ${machinery / 1e3}%7.2f s")
     spark.stop()
   }
 }
