@@ -37,6 +37,27 @@ object StreamingQueries {
   case class SessState(nSessions: Long, nEvents: Long, maxLen: Long,
                        lastUs: Long, curLen: Long)
 
+  /** One s03 partition-local pre-fold: event rows → per-type
+    * `(type, n, Σmicros)` partials, ≤|distinct types| rows per partition
+    * per micro-batch. The downstream stateful absorption sums the partials,
+    * so the final state is invariant under ANY partitioning or micro-batch
+    * split of the input — Long addition is associative and commutative
+    * (property-tested in TypeFoldPropSpec). This is map-side combine for a
+    * low-cardinality stateful key: with ~5 keys the reduce side is ≤5 tasks
+    * no matter the cluster size, so the pre-fold is what keeps the shuffle
+    * and the per-row state updates off the critical path (measured
+    * 22.1 → 2.7 s warm at the fifth decade — SCALE.md round 15).
+    */
+  private[queries] def preFoldTypes(
+      it: Iterator[(String, Long)]): Iterator[(String, Long, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    it.foreach { case (t, us) =>
+      val p = m.getOrElse(t, (0L, 0L))
+      m.update(t, (p._1 + 1L, p._2 + us))
+    }
+    m.iterator.map { case (t, (n, us)) => (t, n, us) }
+  }
+
   /** One s06 fold step: absorb an event at time `us` (micros) into the
     * running session state. Pure and associative across CHRONOLOGICAL
     * chunks — folding a user's events batch-by-batch (each batch sorted,
@@ -303,15 +324,7 @@ object StreamingQueries {
               round(col("value") * 1e6, 0).cast("long").as("micros"))
             .as[(String, Long)]
           val partials: org.apache.spark.sql.Dataset[(String, Long, Long)] =
-            if (preFold)
-              src.mapPartitions { it =>
-                val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-                it.foreach { case (t, us) =>
-                  val p = m.getOrElse(t, (0L, 0L))
-                  m.update(t, (p._1 + 1L, p._2 + us))
-                }
-                m.iterator.map { case (t, (n, us)) => (t, n, us) }
-              }
+            if (preFold) src.mapPartitions(preFoldTypes _)
             else src.map { case (t, us) => (t, 1L, us) }
           partials
             .groupByKey(_._1)
