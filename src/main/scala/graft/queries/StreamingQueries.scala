@@ -354,6 +354,13 @@ object StreamingQueries {
     // set as streaming state (the relational cousin of the chunk store).
     // Which event survives per key is racy, so only the KEY SET is output
     // — deterministic, and equal to the batch DISTINCT the oracle runs.
+    // The s03 pre-fold trick does NOT transfer here (measured no-win,
+    // round 15): s04's keys have no row-order locality — at the fifth
+    // decade a partition-local exact pre-distinct would still emit 81.8 M
+    // of 100 M rows (each of the 7.5 M distinct pairs spreads across ~13
+    // of 32 partitions), an 18 % exchange cut that cannot pay for a
+    // ~2.5 M-tuple set per task. Revisit only if the corpus becomes
+    // key-clustered (e.g. source-partitioned by user).
     "s04_streaming_distinct" -> ((s, d) => drainToMemory(s, "s04",
       name => eventsStream(s, d)
         .select(col("user_id"), col("event_type"))
