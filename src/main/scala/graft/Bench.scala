@@ -243,6 +243,38 @@ object Bench {
     fp
   }
 
+  /** Parse a prior BENCH artifact's per-query seconds map (absent or
+    * malformed → empty: the recheck pass then has nothing to compare, which
+    * is the right degradation for measurement tooling — never fail a suite
+    * over its own bookkeeping).
+    */
+  private[graft] def parsePriorQueries(file: java.io.File): Map[String, Double] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file)
+      Option(node.get("queries")).map { q =>
+        val it = q.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val k = it.next(); b += k -> q.get(k).asDouble(-1.0) }
+        b.result()
+      }.getOrElse(Map.empty)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] recheck prior: $e"); Map.empty
+    }
+
+  /** The rows worth re-measuring in isolation: moved >30 % in EITHER
+    * direction vs the prior artifact AND >2 s absolute (sub-second queries
+    * ratio-jitter freely), crash sentinels (-1) on either side excluded,
+    * top `n` by absolute delta. Returns (query, prior_s, suite_s).
+    */
+  private[graft] def selectMovers(results: Seq[(String, Double)],
+      prior: Map[String, Double], n: Int = 5): Seq[(String, Double, Double)] =
+    results.flatMap { case (name, t) =>
+      prior.get(name).collect {
+        case p if p > 0 && t > 0 &&
+          math.max(t / p, p / t) > 1.3 && math.abs(t - p) > 2.0 => (name, p, t)
+      }
+    }.sortBy { case (_, p, t) => -math.abs(t - p) }.take(n)
+
   def main(args: Array[String]): Unit = {
     // every numeric field below lands in a committed JSON artifact via f""
     // interpolation, which is default-locale-sensitive: a non-US JVM locale
@@ -337,22 +369,8 @@ object Bench {
           System.err.println("[bench] recheck requested but GRAFT_BENCH_PRIOR unset — skipping")
           ""
         case Some(priorPath) => try {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(new java.io.File(priorPath))
-          val priorQs = Option(node.get("queries")).map { q =>
-            val it = q.fieldNames()
-            val b = Map.newBuilder[String, Double]
-            while (it.hasNext) { val k = it.next(); b += k -> q.get(k).asDouble(-1.0) }
-            b.result()
-          }.getOrElse(Map.empty[String, Double])
-          val movers = results.flatMap { case (name, t) =>
-            priorQs.get(name).collect {
-              case p if p > 0 && t > 0 &&
-                math.max(t / p, p / t) > 1.3 && math.abs(t - p) > 2.0 =>
-                (name, p, t, math.abs(t - p))
-            }
-          }.sortBy(-_._4).take(5)
-          val rows = movers.map { case (name, p, t, _) =>
+          val priorQs = parsePriorQueries(new java.io.File(priorPath))
+          val rows = selectMovers(results, priorQs).map { case (name, p, t) =>
             System.err.println(f"[bench] recheck $name%-24s (prior $p%.2f, suite $t%.2f)")
             val r = runOne(name, names.toMap.apply(name))
             f"""{"query":"$name","prior_s":$p%.2f,"suite_s":$t%.2f,"recheck_s":$r%.2f}"""
