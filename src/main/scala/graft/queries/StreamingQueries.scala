@@ -175,6 +175,13 @@ object StreamingQueries {
     * native state, no per-update deep copy). Probed round 15 at the fifth
     * decade via this env knob (GRAFT_STREAM_STATE_PROVIDER=rocksdb|hdfs|
     * <fqcn>): see SCALE.md for the measurement and the adopt/reject call.
+    * Caveat on the committed 3.4× number: it was measured with changelog
+    * checkpointing OFF (the Spark default). Enabling
+    * `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled`
+    * would remove only the full-snapshot commit term (636 s of RocksDB's
+    * three cost terms); the update + eviction terms alone (1 437 + 746 s)
+    * are still 3.3× HDFSBacked's 665 s, so the reject call does not flip
+    * under either configuration while state fits the heap.
     */
   private def stateProviderClass: Option[String] =
     sys.props.get("graft.stream.provider")
