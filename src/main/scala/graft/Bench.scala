@@ -84,6 +84,27 @@ object Bench {
     val files = Option(new java.io.File(sfDir).listFiles())
       .getOrElse(Array.empty[java.io.File]).filter(_.isFile).sortBy(-_.length)
 
+    // page-cache residency of the two largest corpus tables (fincore is
+    // mincore-based: reads nothing, perturbs nothing). Measured BEFORE the
+    // read probe (round-15 advice): a buffered-fallback probe reads corpus
+    // bytes through the page cache, and residency sampled after it would
+    // partly record state the probe itself created instead of found state.
+    def fincorePct(fs: Seq[java.io.File]): Double = {
+      val resident = fs.flatMap { f =>
+        cmdOut(Seq("fincore", "-b", "-n", "-o", "RES,SIZE", f.getAbsolutePath))
+          .flatMap(_.trim.split("\\s+") match {
+            case Array(res, size) => Some((res.toLong, size.toLong))
+            case _ => None
+          })
+      }
+      // fincore RES page-rounds up; clamp the ratio
+      if (resident.nonEmpty && resident.map(_._2).sum > 0)
+        math.min(100.0, 100.0 * resident.map(_._1).sum / resident.map(_._2).sum)
+      else -1.0
+    }
+    val top2 = files.take(2).toSeq
+    val cachePct = fincorePct(top2)
+
     // direct-I/O read over the largest files, 256 MB budget. A small corpus
     // exhausts its files in one pass (sf0.1 sampled only 14 MB — a noisy
     // estimator of the rate that bounds the whole suite), so REPEAT passes
@@ -95,17 +116,21 @@ object Bench {
     var readSecs = 0.0
     var readBuffered = false
     var passes = 0
-    while (budgetMb > 0 && passes < 16 && files.nonEmpty) {
+    // buffered fallback caps at ONE pass (round-15 advice): repeat passes
+    // re-read page-cache-resident bytes and time memory bandwidth, not the
+    // device — more samples only help when O_DIRECT bypasses the cache
+    while (budgetMb > 0 && passes < 16 && !readBuffered && files.nonEmpty) {
       files.iterator.takeWhile(_ => budgetMb > 0).foreach { f =>
         val mb = math.max(1L, math.min(budgetMb, f.length / (1024 * 1024)))
         val direct = timeCmd(Seq("dd", s"if=${f.getAbsolutePath}", "of=/dev/null",
           "iflag=direct", "bs=1M", s"count=$mb"))
         // O_DIRECT unsupported (e.g. tmpfs corpus): buffered timing is the
-        // honest fallback — mark it so the field isn't read as a device rate
+        // honest fallback — marked only when the buffered dd actually
+        // produced a sample (round-15 advice: a direct failure whose
+        // buffered retry ALSO fails must not taint the whole probe's flag)
         val timed = direct.orElse {
-          readBuffered = true
           timeCmd(Seq("dd", s"if=${f.getAbsolutePath}", "of=/dev/null",
-            "bs=1M", s"count=$mb"))
+            "bs=1M", s"count=$mb")).map { s => readBuffered = true; s }
         }
         timed.foreach { s =>
           readBytes += math.min(mb * 1024 * 1024, f.length)
@@ -125,19 +150,26 @@ object Bench {
       try Some(java.nio.file.Files.getFileStore(java.nio.file.Paths.get(p)))
       catch { case _: Exception => None }
     val tmpdir = sys.props("java.io.tmpdir")
-    val sameDev = (fileStore(sfDir), fileStore(tmpdir)) match {
-      case (Some(a), Some(b)) => a == b
-      case _ => true // unknowable — keep the tmpdir probe, flag nothing
+    // None = a FileStore lookup failed, device identity UNVERIFIED — keep
+    // the tmpdir probe but report "unknown" instead of affirmatively
+    // claiming the corpus device (round-15 advice: the old default-true
+    // asserted what was never checked)
+    val sameDevOpt: Option[Boolean] = (fileStore(sfDir), fileStore(tmpdir)) match {
+      case (Some(a), Some(b)) => Some(a == b)
+      case _ => None
     }
     val corpusParent = new java.io.File(sfDir).getParentFile
     val probeDir =
-      if (sameDev) new java.io.File(tmpdir)
+      if (sameDevOpt.getOrElse(true)) new java.io.File(tmpdir)
       else if (corpusParent != null && corpusParent.canWrite &&
         !corpusParent.getAbsolutePath.startsWith("/root/testdata") &&
         !corpusParent.getAbsolutePath.startsWith("/root/reference"))
         corpusParent
       else new java.io.File(tmpdir)
-    val probeOnCorpusDev = sameDev || probeDir == corpusParent
+    val probeOnCorpusDev: String = sameDevOpt match {
+      case None => "\"unknown\""
+      case Some(same) => (same || probeDir == corpusParent).toString
+    }
     val probe = new java.io.File(probeDir,
       s"graft-devprobe-${ProcessHandle.current.pid}")
     var writeBuffered = false
@@ -166,20 +198,6 @@ object Bench {
       if t1 > t0
     } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
 
-    // page-cache residency of the two largest corpus tables (fincore is
-    // mincore-based: reads nothing, perturbs nothing)
-    val top2 = files.take(2)
-    val resident = top2.flatMap { f =>
-      cmdOut(Seq("fincore", "-b", "-n", "-o", "RES,SIZE", f.getAbsolutePath))
-        .flatMap(_.trim.split("\\s+") match {
-          case Array(res, size) => Some((res.toLong, size.toLong))
-          case _ => None
-        })
-    }
-    val cachePct = // fincore RES page-rounds up; clamp the ratio
-      if (resident.nonEmpty && resident.map(_._2).sum > 0)
-        math.min(100.0, 100.0 * resident.map(_._1).sum / resident.map(_._2).sum)
-      else -1.0
     // names land inside a JSON string literal: escape the two characters
     // that could break the artifact's validity (round-14 advice)
     val cacheFiles = top2.map(_.getName).mkString(",")
@@ -218,17 +236,7 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] primed ${total / 1e9}%.1f GB (corpus + exports) in $secs%.1f s")
-        val post = top2.flatMap { f =>
-          cmdOut(Seq("fincore", "-b", "-n", "-o", "RES,SIZE", f.getAbsolutePath))
-            .flatMap(_.trim.split("\\s+") match {
-              case Array(res, size) => Some((res.toLong, size.toLong))
-              case _ => None
-            })
-        }
-        val postPct = // fincore RES page-rounds up; clamp the ratio
-          if (post.nonEmpty && post.map(_._2).sum > 0)
-            math.min(100.0, 100.0 * post.map(_._1).sum / post.map(_._2).sum)
-          else -1.0
+        val postPct = fincorePct(top2)
         f""","primed":true,"prime_secs":$secs%.1f""" +
           f""","prime_gb":${total / 1e9}%.1f,"cache_resident_pct_primed":$postPct%.1f"""
       } else ""
@@ -274,6 +282,36 @@ object Bench {
           math.max(t / p, p / t) > 1.3 && math.abs(t - p) > 2.0 => (name, p, t)
       }
     }.sortBy { case (_, p, t) => -math.abs(t - p) }.take(n)
+
+  /** Standing-inflation rows: suite time exceeds the COMMITTED isolated
+    * baseline by >30 % AND >2 s (same floors as [[selectMovers]], but
+    * one-sided — only inflation is suite debt; a row FASTER than its
+    * baseline is a stale baseline, not a finding). Closes the recheck
+    * pass's blind spot: recheck compares against the PRIOR round's row,
+    * so an inflation stable across rounds (d20's ~1.5× long-suite
+    * JVM-state debt, present in r14 AND r15) never trips it. No top-N
+    * cap — the baseline map is hand-curated and small. Returns
+    * (query, isolated_s, suite_s) sorted by absolute delta.
+    */
+  private[graft] def selectStanding(results: Seq[(String, Double)],
+      isolated: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.flatMap { case (name, t) =>
+      isolated.get(name).collect {
+        case iso if iso > 0 && t > 0 && t / iso > 1.3 && t - iso > 2.0 =>
+          (name, iso, t)
+      }
+    }.sortBy { case (_, iso, t) => -(t - iso) }
+
+  /** The artifact's top-level "sf" string field, if present (baseline
+    * files carry a corpus basename so a baseline is never applied to the
+    * wrong scale; malformed → None, same degradation as
+    * [[parsePriorQueries]]).
+    */
+  private[graft] def parseSfField(file: java.io.File): Option[String] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file)
+      Option(node.get("sf")).filter(_.isTextual).map(_.asText())
+    } catch { case _: Exception => None }
 
   def main(args: Array[String]): Unit = {
     // every numeric field below lands in a committed JSON artifact via f""
@@ -381,11 +419,37 @@ object Bench {
           System.err.println(s"[bench] recheck: $e"); ""
         }
       }
+    // Standing-inflation block: compare each suite row against the
+    // committed isolated-baseline map for this corpus
+    // (bench/ISOLATED_<corpus>.json, GRAFT_BENCH_ISOBASE overrides) and
+    // embed rows whose suite time exceeds isolated by >30% and >2s — the
+    // stable in-suite inflations the cross-round recheck pass is blind to.
+    // The block embeds even when empty (the check ran and found nothing),
+    // and is absent only when no baseline applies to this corpus.
+    val sfName = new java.io.File(sfDir).getName
+    val standing: String = {
+      val f = new java.io.File(sys.env.getOrElse("GRAFT_BENCH_ISOBASE",
+        s"bench/ISOLATED_$sfName.json"))
+      if (!f.isFile) ""
+      else if (parseSfField(f).exists(s => new java.io.File(s).getName != sfName)) {
+        System.err.println(
+          s"[bench] isolated baseline $f is for another corpus — skipping")
+        ""
+      } else {
+        val rows = selectStanding(results, parsePriorQueries(f)).map {
+          case (name, iso, t) =>
+            System.err.println(
+              f"[bench] standing $name%-24s (isolated $iso%.2f, suite $t%.2f)")
+            f"""{"query":"$name","isolated_s":$iso%.2f,"suite_s":$t%.2f}"""
+        }
+        rows.mkString(s""","isobase":"${f.getName}","standing":[""", ",", "]")
+      }
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$device$trafficParity$recheck}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$device$trafficParity$recheck$standing}"""
     println(line)
     // the driver's log capture keeps only the tail of stdout, which truncated
     // the per-query map at ~36 queries; the full line also lands in a repo
@@ -393,7 +457,6 @@ object Bench {
     // configuration owns BENCH_full.json — a smoke run at another SF or a
     // one-pass validation writes a per-SF file instead of clobbering the
     // committed artifact with incomparable numbers. GRAFT_BENCH_OUT overrides.
-    val sfName = new java.io.File(sfDir).getName
     val dumpFile = sys.env.getOrElse("GRAFT_BENCH_OUT",
       if (passes == "2" && sfName == "sf0.1") "BENCH_full.json"
       else s"BENCH_$sfName.json")

@@ -28,8 +28,13 @@ class BenchRecheckSpec extends AnyFunSuite {
   }
 
   test("boundary: exactly 30% or exactly 2s does not trigger (strict >)") {
-    val prior = Map("ratio" -> 10.0, "abs" -> 10.0)
-    val res = Seq("ratio" -> 13.0, "abs" -> 12.0)
+    // ratio: delta 3.0 passes the 2s floor, ratio exactly 1.3 fails strict >
+    // abs: ratio 8/6 ≈ 1.33 passes the ratio gate, delta exactly 2.0 fails
+    // strict > — each gate's strictness pinned in ISOLATION (round-15
+    // advice: the old abs pair 10→12 also failed the ratio gate, so the
+    // absolute floor's strictness was never actually exercised)
+    val prior = Map("ratio" -> 10.0, "abs" -> 6.0)
+    val res = Seq("ratio" -> 13.0, "abs" -> 8.0)
     assert(Bench.selectMovers(res, prior).isEmpty)
   }
 
@@ -57,5 +62,51 @@ class BenchRecheckSpec extends AnyFunSuite {
       assert(Bench.parsePriorQueries(f).isEmpty)
       assert(Bench.parsePriorQueries(new java.io.File("/nonexistent")).isEmpty)
     } finally f.delete()
+  }
+
+  test("standing: one-sided inflation past 30% ratio + 2s floor, sorted by delta") {
+    val iso = Map("infl" -> 20.0, "big" -> 50.0, "fast" -> 30.0,
+      "flat" -> 25.0, "crash" -> 10.0)
+    val res = Seq(
+      "infl" -> 32.0,  // 1.6x, +12 — flagged
+      "big" -> 70.0,   // 1.4x, +20 — flagged, larger delta sorts first
+      "fast" -> 18.0,  // 0.6x — FASTER than baseline: stale baseline, not debt
+      "flat" -> 26.0,  // within noise
+      "crash" -> -1.0, // sentinel excluded
+      "nobase" -> 99.0) // not in the baseline map
+    assert(Bench.selectStanding(res, iso) ==
+      Seq(("big", 50.0, 70.0), ("infl", 20.0, 32.0)))
+  }
+
+  test("standing boundary: exactly 30% or exactly 2s does not trigger (strict >)") {
+    // ratio: 13/10 = exactly 1.3 (delta 3 passes the floor)
+    // abs: 8/6 ≈ 1.33 passes the ratio gate, delta exactly 2.0 fails
+    val iso = Map("ratio" -> 10.0, "abs" -> 6.0)
+    assert(Bench.selectStanding(Seq("ratio" -> 13.0, "abs" -> 8.0), iso).isEmpty)
+  }
+
+  test("sf field parsing reads the baseline's corpus tag and degrades to None") {
+    val f = java.io.File.createTempFile("graft-bench-isobase", ".json")
+    try {
+      java.nio.file.Files.write(f.toPath,
+        """{"sf":"graft-sf100-txt","queries":{"a":1.5}}""".getBytes("UTF-8"))
+      assert(Bench.parseSfField(f).contains("graft-sf100-txt"))
+      assert(Bench.parsePriorQueries(f) == Map("a" -> 1.5)) // same file parses
+      java.nio.file.Files.write(f.toPath, """{"queries":{}}""".getBytes("UTF-8"))
+      assert(Bench.parseSfField(f).isEmpty)
+      assert(Bench.parseSfField(new java.io.File("/nonexistent")).isEmpty)
+    } finally f.delete()
+  }
+
+  test("committed fifth-decade baseline file parses and names real queries") {
+    val f = new java.io.File("bench/ISOLATED_graft-sf100-txt.json")
+    assert(f.isFile)
+    assert(Bench.parseSfField(f).contains("graft-sf100-txt"))
+    val qs = Bench.parsePriorQueries(f)
+    assert(qs.nonEmpty && qs.valuesIterator.forall(_ > 0))
+    // every baseline key must be a real SparkEntry query — a typo here
+    // would silently never flag
+    val known = SparkEntry.queries.keySet
+    assert(qs.keySet.subsetOf(known), s"unknown: ${qs.keySet -- known}")
   }
 }
