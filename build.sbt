@@ -37,4 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // late queries measured 2-5× slower than in isolation.
   "-XX:ReservedCodeCacheSize=1g",
 )
+// Extra forked-JVM flags from the environment (e.g.
+// GRAFT_JAVA_OPTS="-Dgraft.c06.fused=0" to pin a sys-prop knob for one
+// Bench/Verify/probe invocation without editing this file).
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)
 scalacOptions ++= Seq("-deprecation")

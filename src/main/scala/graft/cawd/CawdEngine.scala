@@ -390,4 +390,177 @@ object CawdEngine {
       }
       .toDF("file", "file_bytes", "recon_bytes", "identical")
   }
+
+  /** Sidecar location for [[digestingExportWrite]]'s partial digests: a
+    * SIBLING of the export dir (not a subdir) so the export stays a plain
+    * parquet directory for every reader — Spark's old-shape read-back, the
+    * DuckDB oracle's per-tag parquet glob — with no reliance on
+    * hidden-path filtering in any of them.
+    */
+  def digestSidecarDir(out: String): String =
+    s"${out.stripSuffix("/")}__digests"
+
+  /** S7 fused (round 16): write the cover export AND digest its content in
+    * the same pass. The old c06 shape paid four linear byte passes — chunk
+    * +hash+carry, export write, export read-back + a repartition(file)
+    * exchange moving every content byte into the digest sort, and a source
+    * re-read — because [[reconstructionCheckRows]] needs each file's bytes
+    * in seq order on one task. This pass instead digests each maximal
+    * BYTE-CONTIGUOUS same-file run of cover rows AS the parquet writer
+    * pulls them, keyed on the chunks' true file offsets (chunk output is
+    * hash-partitioned by (file, ~16 MB bucket), and a partition can hold
+    * NON-adjacent buckets of one file — the fifth-decade probe caught a
+    * seq-keyed merge silently concatenating ranges across such a gap), and
+    * writes the partials `(startOff, bytes, sha1, file)` to
+    * [[digestSidecarDir]] — the content bytes never cross an exchange and
+    * the export is never re-read. [[identityFromDigests]] verifies the
+    * partials against the originals; the export round-trip itself (parquet
+    * encode/decode) stays independently verified by the DuckDB oracle's
+    * cumulative-offset `read_blob` comparison. At 100 TB this is the shape
+    * that survives: verification parallelizes by ~[[SplitBytes]]-sized
+    * range, and the old shape's all-content exchange is gone.
+    */
+  def digestingExportWrite(cover: DataFrame, out: String,
+                           writeOptions: Map[String, String]): Unit = {
+    val spark = cover.sparkSession
+    import spark.implicits._
+    val sidecarDir = digestSidecarDir(out)
+    // the parquet overwrite below only clears `out`; a stale sidecar from a
+    // previous run with more partitions would leave orphan partials that
+    // corrupt the combine — clear it explicitly, before the write job
+    val scp = new Path(sidecarDir)
+    scp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(scp, true)
+    cover
+      .select(col("file"), col("seq"), col("start"), col("size"), col("content"))
+      .as[(String, Int, Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val partials = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, String)] // (startOff, bytes, sha, file)
+        var curFile: String = null
+        var md: java.security.MessageDigest = null
+        var runStart = 0L
+        var runBytes = 0L
+        def finishRun(): Unit = if (curFile != null) {
+          partials += ((runStart, runBytes,
+            md.digest().map("%02x".format(_)).mkString, curFile))
+          curFile = null
+        }
+        def writeSidecar(): Unit = {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = if (tc != null) tc.partitionId() else 0
+          val p = new Path(s"$sidecarDir/part-$pid.tsv")
+          val fs = p.getFileSystem(new Configuration())
+          val os = fs.create(p, true)
+          try {
+            val w = new java.io.BufferedWriter(
+              new java.io.OutputStreamWriter(os, "UTF-8"))
+            // file path last: the one field that could contain a separator
+            partials.foreach { case (off, b, sha, f) =>
+              w.write(s"$off\t$b\t$sha\t$f"); w.newLine()
+            }
+            w.flush()
+          } finally os.close()
+        }
+        new Iterator[(String, Int, Long, Array[Byte])] {
+          private var sidecarDone = false
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            // the parquet writer drains the iterator fully, so exhaustion
+            // is exactly once per task, after the last row was written
+            if (!h && !sidecarDone) { finishRun(); writeSidecar(); sidecarDone = true }
+            h
+          }
+          def next(): (String, Int, Long, Array[Byte]) = {
+            val (file, seq, start, size, content) = rows.next()
+            require(content.length == size,
+              s"digestingExportWrite needs materialized content; " +
+                s"chunk $file#$seq carries ${content.length} of $size bytes")
+            // a run extends only while the next chunk's offset continues
+            // the current byte range — a partition holds (file, bucket)
+            // groups sorted by key, and the bucket set for one file need
+            // NOT be consecutive, so same-file group boundaries can be
+            // byte-discontinuous
+            if (file != curFile || start != runStart + runBytes) {
+              finishRun()
+              curFile = file
+              md = java.security.MessageDigest.getInstance("SHA-1")
+              runStart = start
+              runBytes = 0L
+            }
+            md.update(content)
+            runBytes += size
+            (file, seq, size, content)
+          }
+        }
+      }
+      .toDF("file", "seq", "size", "content")
+      .write.mode("overwrite").options(writeOptions).parquet(out)
+  }
+
+  /** Verify the sidecar partials of [[digestingExportWrite]] against the
+    * original files: per file, sort partials by start offset and assert
+    * disjoint ranges (load-bearing: overlapping ranges could sum to the
+    * file length while leaving a gap unchecked), then re-read each
+    * original range — distributed by ~[[SplitBytes]]-sized partial, not
+    * by file — and compare digests. Returns the same relation as
+    * [[reconstructionCheckRows]]: (file, file_bytes, recon_bytes,
+    * identical), identical := every range digest matches AND recon_bytes
+    * == file_bytes — with disjointness and ranges bounded by EOF, that is
+    * exact tiling of [0, file_bytes), i.e. whole-file byte identity.
+    */
+  def identityFromDigests(spark: SparkSession, out: String): DataFrame = {
+    import spark.implicits._
+    val ranged = spark.read.textFile(digestSidecarDir(out))
+      .map { line =>
+        val a = line.split("\t", 4)
+        (a(3), a(0).toLong, a(1).toLong, a(2))
+      } // (file, startOff, bytes, sha)
+      .groupByKey(_._1)
+      .flatMapGroups { (file: String, it: Iterator[(String, Long, Long, String)]) =>
+        val ps = it.toArray.sortBy(_._2)
+        ps.sliding(2).foreach {
+          case Array(a, b) =>
+            require(b._2 >= a._2 + a._3, s"overlapping digest runs in $file: " +
+              s"[${a._2},${a._2 + a._3}) and [${b._2},${b._2 + b._3})")
+          case _ => ()
+        }
+        ps.iterator
+      } // (file, startOff, bytes, sha)
+    val n = math.max(1, spark.sparkContext.defaultParallelism)
+    ranged
+      .repartition(n)
+      .map { case (file, off, len, sha) =>
+        val p = new Path(file)
+        val fs = p.getFileSystem(new Configuration())
+        val fileLen = fs.getFileStatus(p).getLen
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        val buf = new Array[Byte](1 << 20)
+        var got = 0L
+        val in = fs.open(p)
+        try {
+          in.seek(off)
+          var n2 = in.read(buf, 0, math.min(buf.length.toLong, len).toInt)
+          while (n2 > 0 && got < len) {
+            md.update(buf, 0, n2)
+            got += n2
+            n2 = in.read(buf, 0, math.min(buf.length.toLong, len - got).toInt)
+          }
+        } finally in.close()
+        // a range running past EOF (cover claims more bytes than the file
+        // has) digests short and fails the compare — reported as
+        // non-identical, same as any other byte difference
+        val ok = got == len &&
+          md.digest().map("%02x".format(_)).mkString == sha
+        (file, fileLen, len, ok)
+      }
+      .toDF("file", "file_bytes", "bytes", "ok")
+      .groupBy(col("file"))
+      .agg(first(col("file_bytes")).as("file_bytes"),
+        sum(col("bytes")).as("recon_bytes"),
+        min(col("ok").cast("int")).as("allok"))
+      .select(col("file"), col("file_bytes"), col("recon_bytes"),
+        (col("allok") === 1 &&
+          col("recon_bytes") === col("file_bytes")).as("identical"))
+  }
 }

@@ -62,16 +62,26 @@ object CawdExport {
   def materializeDf(spark: SparkSession, sfDir: String, tag: String,
                     df: DataFrame,
                     writeOptions: Map[String, String] = Map.empty): DataFrame = {
+    materializeVia(sfDir, tag, out =>
+      df.write.mode("overwrite").options(writeOptions).parquet(out))
+    spark.read.parquet(dir(sfDir, tag))
+  }
+
+  /** The memo/once-per-session machinery of [[materializeDf]] with the
+    * write step delegated — for exports whose write is not a plain
+    * `df.write` (c06's fused digest-through-write computes per-range
+    * content digests in the same pass that writes the export).
+    */
+  def materializeVia(sfDir: String, tag: String,
+                     write: String => Unit): Unit = {
     val out = dir(sfDir, tag)
     // complete-before-read: a concurrent second caller with the same tag
     // blocks on the winner's write instead of reading a half-written dir
-    val task = new java.util.concurrent.FutureTask[Unit](() =>
-      df.write.mode("overwrite").options(writeOptions).parquet(out))
+    val task = new java.util.concurrent.FutureTask[Unit](() => write(out))
     val prior = writtenDf.putIfAbsent(out, task)
     val winner = if (prior == null) { task.run(); task } else prior
     try winner.get()
     catch { case e: Throwable => writtenDf.remove(out, winner); throw e }
-    spark.read.parquet(out)
   }
 
   /** Forget memoized exports. [[graft.Bench]] calls this between the

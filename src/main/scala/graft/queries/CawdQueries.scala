@@ -138,10 +138,12 @@ object CawdQueries {
         CawdEngine.Parquet, withContent = true)
       val cover = orc.unionByName(pq)
         // top-level cover rule (see reconstructTo): no timing rows, no
-        // StripeColumn overlay columns
+        // StripeColumn overlay columns. `start` rides along for the fused
+        // digest's byte-range partials; neither export shape writes it.
         .filter(c => c.parentSeq != -2 &&
           !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
-        .select(col("file"), col("seq"), col("size"), col("content"))
+        .select(col("file"), col("seq"), col("start"), col("size"),
+          col("content"))
       // The export is written UNCOMPRESSED with 16 MB row groups: its
       // content column is raw slices of ALREADY-compressed parquet/orc
       // file bytes, so codec compression gains ~nothing — and it is the
@@ -154,9 +156,26 @@ object CawdQueries {
       // failing at the 8.59 GB limit). No codec → no direct buffers; the
       // 16 MB row groups bound any remaining per-chunk buffering and give
       // the ~15 GB single-table scan honest 32 MB splits.
-      CawdExport.materializeDf(s, d, "c06", cover, Map(
+      val exportOpts = Map(
         "compression" -> "uncompressed",
-        "parquet.block.size" -> (16L * 1024 * 1024).toString))
+        "parquet.block.size" -> (16L * 1024 * 1024).toString)
+      // Fused shape (round 16, default): digest the cover content AS the
+      // export is written (per-run partial digests to a sidecar, content
+      // never crosses an exchange), then verify each partial against the
+      // original file's byte range — CawdEngine.digestingExportWrite
+      // scaladoc has the full argument; the old four-pass shape stays
+      // runnable via -Dgraft.c06.fused=0 (the CostCenterProbe comparison
+      // arm). The DuckDB oracle independently verifies the export's bytes
+      // against read_blob slices of the originals either way.
+      if (!sys.props.get("graft.c06.fused").contains("0")) {
+        val out = CawdExport.dir(d, "c06")
+        CawdExport.materializeVia(d, "c06",
+          CawdEngine.digestingExportWrite(cover, _, exportOpts))
+        CawdEngine.identityFromDigests(s, out)
+          .withColumn("file", base(col("file")))
+          .orderBy("file")
+      } else {
+      CawdExport.materializeDf(s, d, "c06", cover.drop("start"), exportOpts)
       // Reassembly runs on a memory-bounded child session (same incident):
       // (a) the vectorized reader sizes batches by ROW COUNT, so the
       // session's 1024-row blob batches can transiently hold ~1 GB per scan
@@ -173,6 +192,7 @@ object CawdQueries {
       CawdEngine.reconstructionCheckRows(tbl)
         .withColumn("file", base(col("file")))
         .orderBy("file")
+      }
     }),
 
     // Content-defined chunking baseline (gear/FastCDC, [[CdcChunker]]):

@@ -232,6 +232,39 @@ object CostCenterProbe {
       runS03("per-row (shipped r14)", "0")
       runS03("pre-fold", "1")
     }
+
+    if (which("c06fuse")) {
+      // Round-16 candidate (round-15 verdict task 1): digest the cover
+      // content AS the export is written (per-run partial digests to a
+      // sidecar, ranges verified against the originals) instead of the old
+      // shape's export read-back + repartition(file) content exchange +
+      // digest sort. Both shapes run the FULL shipped query through the
+      // identical harness via the sys-prop knob, with Bench's exact
+      // measurement protocol (resetMemo before each timed run so the
+      // export write is re-paid, clearCache + GC between runs); warm
+      // second runs are the comparable pair. Old runs once more at the end
+      // as an order-effect control.
+      def runC06(tag: String, fused: String): Unit = {
+        sys.props("graft.c06.fused") = fused
+        try Seq("run1", "run2 (warm)").foreach { leg =>
+          CawdExport.resetMemo()
+          time(s"c06fuse/$tag $leg")(
+            SparkEntry.queries("c06_reconstruction")(spark, d)
+              .write.format("noop").mode("overwrite").save())
+          spark.catalog.clearCache()
+          System.gc()
+        } finally sys.props.remove("graft.c06.fused")
+      }
+      runC06("old four-pass", "0")
+      runC06("fused", "1")
+      sys.props("graft.c06.fused") = "0"
+      try {
+        CawdExport.resetMemo()
+        time("c06fuse/old control (order check)")(
+          SparkEntry.queries("c06_reconstruction")(spark, d)
+            .write.format("noop").mode("overwrite").save())
+      } finally sys.props.remove("graft.c06.fused")
+    }
     spark.stop()
   }
 }

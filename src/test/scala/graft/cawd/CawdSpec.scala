@@ -203,6 +203,104 @@ class CawdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(check.head.getBoolean(3), "ERROR chunk must reconstruct the raw file")
   }
 
+  test("fused digest-through-write: identity over the real cover, corruption and truncation detected") {
+    val work = Files.createTempDirectory("cawd-fused").toString
+    val f1 = s"$work/a.orc"
+    val f2 = s"$work/b.parquet"
+    Files.copy(java.nio.file.Paths.get(orcPath), java.nio.file.Paths.get(f1))
+    Files.copy(java.nio.file.Paths.get(pqPath), java.nio.file.Paths.get(f2))
+    val cover = CawdEngine.chunkFiles(spark, Seq((f1, 0)), CawdEngine.Orc,
+        OrcChunker.StripeColumn, withContent = true)
+      .unionByName(CawdEngine.chunkFiles(spark, Seq((f2, 1)),
+        CawdEngine.Parquet, withContent = true))
+      .filter(c => c.parentSeq != -2 &&
+        !(c.chunkType == ChunkType.Column && c.parentSeq != -1))
+      .select(col("file"), col("seq"), col("start"), col("size"),
+        col("content"))
+    val out = s"$work/export"
+    CawdEngine.digestingExportWrite(cover, out, Map.empty)
+    // the export dir stays a plain parquet dir; partials land in the sibling
+    assert(new java.io.File(out).listFiles().forall(f =>
+      f.getName.endsWith(".parquet") || f.getName.startsWith("_") ||
+        f.getName.startsWith(".")))
+    assert(new java.io.File(CawdEngine.digestSidecarDir(out)).listFiles()
+      .exists(_.length() > 0))
+    def rows() = CawdEngine.identityFromDigests(spark, out)
+      .collect().map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val ok = rows()
+    assert(ok.size == 2 && ok.values.forall { case (fb, rb, id) => id && fb == rb })
+    // flip one byte mid-file: that file alone must report non-identical
+    val raf = new java.io.RandomAccessFile(f1, "rw")
+    try {
+      raf.seek(raf.length() / 2)
+      val b = raf.read(); raf.seek(raf.length() / 2); raf.write(b ^ 0x01)
+    } finally raf.close()
+    val afterFlip = rows()
+    assert(!afterFlip("a.orc")._3 && afterFlip("b.parquet")._3)
+    // truncate the other: recon_bytes != file_bytes must fail it too
+    new java.io.RandomAccessFile(f2, "rw") { setLength(fileLen(f2) - 10); close() }
+    assert(!rows()("b.parquet")._3)
+  }
+
+  test("fused digest breaks runs at byte discontinuities within one partition") {
+    // the fifth-decade probe's failure shape: one partition holds
+    // NON-adjacent byte ranges of the same file (non-consecutive buckets
+    // hash together) — a seq-keyed merge would digest across the gap
+    import spark.implicits._
+    val work = Files.createTempDirectory("cawd-runs").toString
+    val data = Array.tabulate[Byte](300)(i => (i * 7 % 256).toByte)
+    val fp = s"$work/f.bin"
+    Files.write(java.nio.file.Paths.get(fp), data)
+    val rows = Seq(
+      (fp, 0, 0L, 100L, data.slice(0, 100)),
+      (fp, 5, 200L, 100L, data.slice(200, 300)), // gap: [100,200) comes later
+      (fp, 9, 100L, 100L, data.slice(100, 200)))
+    val cover = spark.createDataset(rows).coalesce(1)
+      .toDF("file", "seq", "start", "size", "content")
+    val out = s"$work/export"
+    CawdEngine.digestingExportWrite(cover, out, Map.empty)
+    val partials = new java.io.File(CawdEngine.digestSidecarDir(out))
+      .listFiles().filter(_.getName.endsWith(".tsv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(partials.size == 3, s"expected 3 runs, got: $partials")
+    val r = CawdEngine.identityFromDigests(spark, out).collect().head
+    assert(r.getLong(1) == 300 && r.getLong(2) == 300 && r.getBoolean(3))
+  }
+
+  test("identityFromDigests reassembles out-of-order partials and rejects overlap") {
+    val work = Files.createTempDirectory("cawd-partials").toString
+    val data = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    Files.write(java.nio.file.Paths.get(s"$work/f.bin"), data)
+    def sha(lo: Int, hi: Int): String = java.security.MessageDigest
+      .getInstance("SHA-1").digest(data.slice(lo, hi))
+      .map("%02x".format(_)).mkString
+    val out = s"$work/export"
+    val sc = new java.io.File(CawdEngine.digestSidecarDir(out))
+    sc.mkdirs()
+    // two byte-range partials, listed out of order to pin the sort
+    Files.write(new java.io.File(sc, "part-0.tsv").toPath,
+      (s"400\t600\t${sha(400, 1000)}\t$work/f.bin\n" +
+        s"0\t400\t${sha(0, 400)}\t$work/f.bin\n").getBytes("UTF-8"))
+    val r = CawdEngine.identityFromDigests(spark, out).collect().head
+    assert(r.getLong(1) == 1000 && r.getLong(2) == 1000 && r.getBoolean(3))
+    // a coverage GAP (bytes [400,500) never digested): non-identical
+    Files.write(new java.io.File(sc, "part-0.tsv").toPath,
+      (s"0\t400\t${sha(0, 400)}\t$work/f.bin\n" +
+        s"500\t500\t${sha(500, 1000)}\t$work/f.bin\n").getBytes("UTF-8"))
+    assert(!CawdEngine.identityFromDigests(spark, out).collect().head.getBoolean(3))
+    // overlapping ranges could double-count bytes and mask a gap: loud failure
+    Files.write(new java.io.File(sc, "part-0.tsv").toPath,
+      (s"0\t400\t${sha(0, 400)}\t$work/f.bin\n" +
+        s"300\t700\t${sha(300, 1000)}\t$work/f.bin\n").getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      CawdEngine.identityFromDigests(spark, out).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overlapping digest runs")))
+  }
+
   test("reconstruction sink materializes byte-identical files") {
     import spark.implicits._
     val dest = s"$dir/recon"
