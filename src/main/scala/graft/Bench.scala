@@ -328,6 +328,16 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // every measured run re-pays SESSION-memoized exports (c06/c07):
+      // steady state includes that work. This must live here, not between
+      // the passes: a post-suite recheck or an outlier re-measure inherits
+      // the suite's memo otherwise and skips the export write it is
+      // supposed to time (caught in round 16 — c06's recheck row read
+      // 1.47 s against a 26.6 s suite row). The media/shingle exports are
+      // deliberately exempt: they persist across sessions keyed by corpus
+      // content hash (materializePersistentDf) — a real pipeline's
+      // corpus-already-materialized steady state.
+      graft.cawd.CawdExport.resetMemo()
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the projections being measured)
@@ -360,16 +370,6 @@ object Bench {
       else {
         val w = names.map { case (n, fn) => n -> runOne(n, fn) }.toMap
         spark.catalog.clearCache()                    // timed pass re-reads data
-        // the timed pass must re-pay SESSION-memoized exports (c06/c07) —
-        // steady state includes that work. The media blob/feature exports
-        // and the round-8 shingle/minhash fingerprint tables are
-        // deliberately exempt: they persist across sessions keyed by
-        // corpus content hash (CawdExport.materializePersistentDf), so the
-        // timed m01-m03 / d05/d06/d10/d22 measure the corpus-already-
-        // materialized steady state a real pipeline runs in — the one-time
-        // decode/fingerprint cost shows in the warm-up pass (and in any
-        // first run on a fresh corpus).
-        graft.cawd.CawdExport.resetMemo()
         w
       }
 
