@@ -353,7 +353,8 @@ object VectorQueries {
   private def denseSession(spark: SparkSession): SparkSession =
     graft.GraftSession.child(spark, DenseTag, aqe = false)
 
-  private def registerEmbeddings(s: SparkSession, d: String): SparkSession = {
+  // private[graft]: R16Probe decomposes e05 over the same registered views
+  private[graft] def registerEmbeddings(s: SparkSession, d: String): SparkSession = {
     // dense entry: every query here does per-cell/per-plane kernel math
     // over the vectors — parallelism must follow rows, not parquet bytes
     // (Tables.spread scaladoc; the sf10 e03/e07 superlinear finding)
@@ -694,8 +695,9 @@ object VectorQueries {
     * build reads the centroid view registered one line above, so a cold
     * build evaluates training exactly once across the two tables.
     */
-  private def ivfIndexViews(s: SparkSession, d: String,
-                            trainSample: Boolean): String = {
+  // private[graft]: R16Probe decomposes e05 over the persisted index views
+  private[graft] def ivfIndexViews(s: SparkSession, d: String,
+                                   trainSample: Boolean): String = {
     val sfx = if (trainSample) "s" else "f"
     val key = graft.cawd.CawdExport.corpusContentKey(s,
       Seq(s"$d/embeddings.parquet"),
