@@ -98,6 +98,67 @@ object R16Probe {
         SparkEntry.queries("q04_revenue_by_nation")(spark, d))
     }
 
+    // q04: the custkey exchange tier exists only to attach n_name to the
+    // per-customer partials. customer projected to (c_custkey, n_name) is
+    // 15 M narrow rows at the fifth decade (~200-600 MB built) — broadcast
+    // it into the l⋈o output stage and aggregate by n_name directly:
+    // map-side partials collapse to 25 rows/partition, the 570 M-partial-row
+    // custkey exchange disappears (guide §2.4/§3.1). sum(decimal) is exact
+    // and associative, so regrouping by n_name instead of custkey-then-name
+    // is value-identical. SHUFFLE_HASH on l⋈o drops both sort legs too.
+    if (which("q04bc")) {
+      pair("q04bc/shipped (perCust SMJ)")(
+        SparkEntry.queries("q04_revenue_by_nation")(spark, d))
+      def bc: DataFrame = {
+        val s = queries.RelationalQueries.sizedForInput(spark, "q04bc", d, "lineitem")
+        val l = lineitem(s, d); val o = orders(s, d)
+        val c = customer(s, d); val n = nation(s, d)
+        val cn = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+      }
+      println(bc.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange"))
+        .map(_.take(160)).mkString("\n"))
+      pair("q04bc/SHJ + broadcast c⋈n")(bc)
+      pair("q04bc/shipped again (order control)")(
+        SparkEntry.queries("q04_revenue_by_nation")(spark, d))
+    }
+
+    // q07: same lever — customer projected to (c_custkey, c_mktsegment) is
+    // small enough to broadcast, which removes the o⋈c custkey exchange
+    // and both SMJ sorts; the WindowGroupLimit's own mktsegment exchange
+    // carries only per-partition top-3 rows.
+    if (which("q07bc")) {
+      pair("q07bc/shipped (SMJ)")(
+        SparkEntry.queries("q07_topk_window")(spark, d))
+      def bc: DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val o = orders(spark, d); val c = customer(spark, d)
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      }
+      println(bc.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange")
+          || l.contains("WindowGroupLimit"))
+        .map(_.take(160)).mkString("\n"))
+      pair("q07bc/broadcast customer")(bc)
+      pair("q07bc/shipped again (order control)")(
+        SparkEntry.queries("q07_topk_window")(spark, d))
+    }
+
     if (which("q07shj")) {
       pair("q07shj/shipped (SMJ)")(
         SparkEntry.queries("q07_topk_window")(spark, d))
@@ -198,6 +259,97 @@ object R16Probe {
           |SELECT doc_id, CAST(pos + 1 AS INT) AS rnk, e.t AS term, e.tfidf
           |FROM top3 LATERAL VIEW posexplode(s) x AS pos, e""".stripMargin)
       eq("d11 agg-top3 vs window", shippedD11, aggD11)
+    }
+
+    // d20: the shipped shape pays TWO regex scans per pattern (count via
+    // regexp_extract_all + replace via regexp_replace). split() yields both
+    // in ONE scan — for a pattern that cannot match the empty string,
+    // concat_ws(sep, split(s, re, -1)) ≡ regexp_replace(s, re, sep) and
+    // size(split(s, re, -1)) - 1 ≡ match count (limit -1 keeps trailing
+    // empties, so the identity is exact; same Java regex engine both ways).
+    // Email count+replace share one split array; the phone count stays a
+    // scan of t (not clean1) to mirror the shipped semantics by
+    // construction. 4 regex scans -> 3, and split's segment slicing is
+    // cheaper than extract_all's per-match group machinery.
+    def d20split: DataFrame = {
+      documentsDense(spark, d).createOrReplaceTempView("documents")
+      val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+"
+      val phoneRe = "\\\\+1-555-[0-9]{4}"
+      spark.sql(
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |    concat(text,
+           |      ' contact user', CAST(doc_id AS STRING), '@mail-', source, '.net',
+           |      repeat(concat(' cc backup', CAST(doc_id AS STRING), '@org-', source, '.com'),
+           |             CAST(doc_id % 3 AS INT)),
+           |      ' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS t
+           |  FROM documents),
+           |seg AS (
+           |  SELECT doc_id, t, split(t, '$emailRe', -1) AS se FROM aug),
+           |red AS (
+           |  SELECT doc_id,
+           |    CAST(size(se) - 1 AS BIGINT) AS n_emails,
+           |    CAST(size(split(t, '$phoneRe', -1)) - 1 AS BIGINT) AS n_phones,
+           |    concat_ws('<PHONE>',
+           |      split(concat_ws('<EMAIL>', se), '$phoneRe', -1)) AS clean
+           |  FROM seg)
+           |SELECT doc_id, n_emails, n_phones,
+           |  length(clean) AS clean_len, md5(clean) AS clean_hash
+           |FROM red""".stripMargin)
+    }
+
+    if (which("d20split")) {
+      pair("d20split/shipped (extract_all+replace)")(
+        SparkEntry.queries("d20_pii_redact")(spark, d))
+      pair("d20split/split-once")(d20split)
+      pair("d20split/shipped again (order control)")(
+        SparkEntry.queries("d20_pii_redact")(spark, d))
+    }
+
+    if (which("eqd20")) {
+      val ca = Seq("doc_id", "n_emails", "n_phones", "clean_len", "clean_hash")
+      val a = SparkEntry.queries("d20_pii_redact")(spark, d).select(ca.map(col): _*)
+      val b = d20split.select(ca.map(col): _*)
+      val diff = a.exceptAll(b).union(b.exceptAll(a)).count()
+      println(s"[r16] eq/d20 split vs shipped: ${if (diff == 0) "IDENTICAL" else s"DIFFERS ($diff rows)"}")
+    }
+
+    if (which("eqjoin")) {
+      def eq2(label: String, a: DataFrame, b: DataFrame): Unit = {
+        val ca = a.columns.toSeq
+        val diff = a.exceptAll(b.select(ca.map(col): _*))
+          .union(b.select(ca.map(col): _*).exceptAll(a)).count()
+        println(s"[r16] eq/$label: ${if (diff == 0) "IDENTICAL" else s"DIFFERS ($diff rows)"}")
+      }
+      locally {
+        val l = lineitem(spark, d); val o = orders(spark, d)
+        val c = customer(spark, d); val n = nation(spark, d)
+        val cn = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val bc = l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(4,2)") - dec(col("l_discount"), "decimal(4,2)")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+        eq2("q04 bc vs shipped",
+          SparkEntry.queries("q04_revenue_by_nation")(spark, d), bc)
+      }
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val o = orders(spark, d); val c = customer(spark, d)
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val bc = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        eq2("q07 bc vs shipped",
+          SparkEntry.queries("q07_topk_window")(spark, d), bc)
+      }
     }
 
     if (which("e05dec")) {
